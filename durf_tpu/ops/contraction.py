@@ -1,0 +1,49 @@
+"""Mip-NeRF 360 scene contraction for unbounded scenes.
+
+contract(x) = (2 - 1/||x||) * x/||x|| beyond a norm threshold; the Gaussian
+covariance is propagated through the contraction with a diagonal-Jacobian
+approximation. Behavioral parity with reference internal/mip360.py:47-79,
+including the reference's threshold of 0.1 (the Mip-NeRF 360 paper uses 1.0 —
+configurable here; see docs/DEFECTS.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from durf_tpu import mathx
+
+
+def contract(x: jax.Array, threshold: float = 0.1) -> jax.Array:
+    """Contract unbounded points into a ball of radius 2.
+
+    Identity for ||x|| <= threshold, (2 - 1/||x||) * x/||x|| beyond it
+    (reference mip360.py:47-60 uses threshold 0.1).
+    """
+    x_norm = mathx.safe_norm(x)
+    inside = (x_norm <= threshold).astype(x.dtype)
+    contracted = (2.0 - jnp.nan_to_num(1.0 / x_norm)) * jnp.nan_to_num(x / x_norm)
+    return inside * x + (1.0 - inside) * contracted
+
+
+def contract_gaussian(mean: jax.Array, cov: jax.Array, threshold: float = 0.1):
+    """Push a Gaussian (mean, cov) through the contraction.
+
+    The reference (mip360.py:63-79) approximates the Jacobian by the diagonal
+    matrix D = diag(J @ 1) (the row sums of J, obtained via jax.linearize with
+    an all-ones tangent) and maps cov -> D cov D^T. We compute the same thing
+    with a single jvp and an elementwise outer scaling — algebraically
+    identical, without materializing [.., 3, 3] matmuls:
+        (D Σ D^T)_ij = d_i d_j Σ_ij.
+
+    Args:
+      mean: [..., 3]; cov: [..., 3, 3] full covariance.
+
+    Returns:
+      (contracted mean, contracted cov).
+    """
+    fn = lambda m: contract(m, threshold)
+    mean_c, d = jax.jvp(fn, (mean,), (jnp.ones_like(mean),))
+    cov_c = d[..., :, None] * cov * d[..., None, :]
+    return mean_c, cov_c

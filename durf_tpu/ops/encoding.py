@@ -1,0 +1,111 @@
+"""Positional encodings: NeRF PE, integrated PE (IPE), and BARF-windowed variants.
+
+Behavioral parity with reference internal/mip.py:25-73 and 182-282, with two
+deliberate fixes (documented in docs/DEFECTS.md):
+  * the BARF window is aligned per-frequency with the encoding layout — the
+    reference broadcasts the per-degree weights as [max_deg, 6] which does not
+    match its own [sin(deg,dim); cos(deg,dim)] feature layout (mip.py:58,220).
+    Irrelevant for the published configs (alpha == max_deg => all-ones window).
+  * windowed_pos_enc honors append_identity=False by returning the *windowed*
+    features (the reference returns the unwindowed ones, mip.py:64).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from durf_tpu import mathx
+
+
+def expected_sin(x: jax.Array, x_var: jax.Array):
+    """Mean and variance of sin(z) for z ~ N(x, x_var) (reference mip.py:67-73)."""
+    y = jnp.exp(-0.5 * x_var) * mathx.safe_sin(x)
+    y_var = jnp.maximum(0, 0.5 * (1 - jnp.exp(-2 * x_var) * mathx.safe_cos(2 * x)) - y**2)
+    return y, y_var
+
+
+def pos_enc(x: jax.Array, min_deg: int, max_deg: int, append_identity: bool = True) -> jax.Array:
+    """Classic NeRF positional encoding: sin/cos of x * 2^[min_deg, max_deg).
+
+    Feature layout is [sin(deg0 dims.., deg1 dims.., ...), cos(...)], matching
+    reference mip.py:36-45 (cos realized as sin(x + pi/2)).
+    """
+    scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], x.dtype)
+    xb = jnp.reshape(x[..., None, :] * scales[:, None], x.shape[:-1] + (-1,))
+    four_feat = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
+    if append_identity:
+        return jnp.concatenate([x, four_feat], axis=-1)
+    return four_feat
+
+
+def _barf_window(alpha, min_deg: int, max_deg: int, dims: int, dtype) -> jax.Array:
+    """Per-feature BARF cosine easing window, aligned with the PE layout.
+
+    w_k = (1 - cos(pi * clip(alpha - k, 0, 1))) / 2 for absolute frequency
+    degree k (reference mip.py:55-58); repeated over the `dims` coordinates and
+    tiled over the (sin, cos) halves.
+    """
+    k = jnp.arange(min_deg, max_deg, dtype=dtype)
+    w = (1 - jnp.cos(jnp.clip(alpha - k, 0, 1) * jnp.pi)) / 2
+    w = jnp.repeat(w, dims)  # [deg*dims], layout matches xb flattening
+    return jnp.concatenate([w, w], axis=-1)  # sin half + cos half
+
+
+def windowed_pos_enc(
+    x: jax.Array, min_deg: int, max_deg: int, alpha, append_identity: bool = True
+) -> jax.Array:
+    """BARF coarse-to-fine windowed positional encoding (reference mip.py:48-64)."""
+    feat = pos_enc(x, min_deg, max_deg, append_identity=False)
+    w = _barf_window(alpha, min_deg, max_deg, x.shape[-1], feat.dtype)
+    feat = w * feat
+    if append_identity:
+        return jnp.concatenate([x, feat], axis=-1)
+    return feat
+
+
+def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool):
+    """Shared IPE core: lifted means/variances -> expected sin features."""
+    if diag:
+        x, x_cov_diag = x_coord
+        scales = jnp.asarray([2.0**i for i in range(min_deg, max_deg)], x.dtype)
+        shape = x.shape[:-1] + (-1,)
+        y = jnp.reshape(x[..., None, :] * scales[:, None], shape)
+        y_var = jnp.reshape(x_cov_diag[..., None, :] * scales[:, None] ** 2, shape)
+    else:
+        x, x_cov = x_coord
+        num_dims = x.shape[-1]
+        basis = jnp.concatenate(
+            [2.0**i * jnp.eye(num_dims, dtype=x.dtype) for i in range(min_deg, max_deg)], axis=1
+        )
+        y = mathx.matmul_hp(x, basis)
+        # diag(basis^T @ cov @ basis) without materializing the full product.
+        y_var = jnp.sum(mathx.matmul_hp(x_cov, basis) * basis, axis=-2)
+    return expected_sin(
+        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
+        jnp.concatenate([y_var] * 2, axis=-1),
+    )[0]
+
+
+def integrated_pos_enc(x_coord, min_deg: int, max_deg: int, diag: bool = False) -> jax.Array:
+    """Integrated positional encoding of a Gaussian (mean, cov).
+
+    Args:
+      x_coord: (means [..., 3], covs [..., 3, 3] or diag [..., 3]).
+      min_deg/max_deg: frequency band.
+      diag: whether covs are diagonal.
+
+    Reference mip.py:226-282 (matmuls at HIGHEST precision, mip.py:275-278).
+    """
+    return _ipe_features(x_coord, min_deg, max_deg, diag)
+
+
+def windowed_ipe(x_coord, min_deg: int, max_deg: int, alpha, diag: bool = False) -> jax.Array:
+    """BARF-windowed IPE with the identity (mean) prepended.
+
+    Used for the per-object MLP inputs so noisy box poses can be optimized
+    coarse-to-fine (reference mip.py:182-223; identity prepend at 222).
+    """
+    feat = _ipe_features(x_coord, min_deg, max_deg, diag)
+    w = _barf_window(alpha, min_deg, max_deg, x_coord[0].shape[-1], feat.dtype)
+    return jnp.concatenate([x_coord[0], w * feat], axis=-1)
