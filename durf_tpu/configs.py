@@ -1,0 +1,232 @@
+"""Configuration: typed dataclasses plus a gin-compatible config-file parser.
+
+The reference drives everything through gin files binding `Config`,
+`MipNerfModel` and `MLP` fields (reference internal/utils.py:89-165,
+configs/*.gin). gin is not available here, so this module provides the same
+two-tier system natively: dataclasses with the same field names, and
+`load_config()` which parses the reference's .gin syntax (`Class.field =
+literal`, comments, tuples) directly onto them — reference-prepared config
+files work unchanged.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass
+class MLPConfig:
+    """MLP hyperparameters (reference obbpose_model.py:293-303, 357-367)."""
+
+    net_depth: int = 8  # layers in the trunk
+    net_width: int = 256  # trunk width
+    net_depth_condition: int = 1  # layers in the viewdir-conditioned head
+    net_width_condition: int = 128  # head width
+    net_activation: str = "relu"
+    skip_layer: int = 4  # concat the input after every N trunk layers
+    num_rgb_channels: int = 3
+    num_density_channels: int = 1
+
+
+@dataclass
+class ModelConfig:
+    """MipNerfModel hyperparameters (reference obbpose_model.py:42-66)."""
+
+    num_samples: int = 128  # samples per level
+    num_levels: int = 2  # sampling levels (coarse, fine)
+    resample_padding: float = 0.01  # histogram padding for level-2 resampling
+    stop_level_grad: bool = True  # block gradients across levels
+    use_viewdirs: bool = True
+    lindisp: bool = False  # sample in disparity instead of depth
+    ray_shape: str = "cone"  # 'cone' | 'cylinder'
+    min_deg_point: int = 0
+    max_deg_point: int = 10
+    deg_view: int = 4
+    num_objects: int = 2  # moving objects in the scene graph
+    density_activation: str = "softplus"
+    density_noise: float = 0.1  # stddev of raw-density regularization noise
+    density_bias: float = -1.0
+    rgb_activation: str = "sigmoid"
+    rgb_padding: float = 0.001
+    disable_integration: bool = False  # PE instead of IPE
+    contraction: bool = True  # mip360 unbounded-scene contraction
+    contract_threshold: float = 0.1  # reference uses 0.1 (paper: 1.0)
+    dynamics: bool = True  # scene-graph object decomposition
+    timesteps: int = 5
+    no_pose_opt: bool = False  # stop-gradient on box translations
+    no_yaw_opt: bool = False  # stop-gradient on box rotations
+    # TPU-first additions (not in the reference):
+    compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
+    use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU
+    mlp: MLPConfig = field(default_factory=MLPConfig)
+    box_mlp: MLPConfig = field(
+        default_factory=lambda: MLPConfig(net_width=128)
+    )
+
+
+@dataclass
+class Config:
+    """Training/data configuration, field-compatible with reference
+    internal/utils.py:89-144."""
+
+    dataset_loader: str = "multicam"
+    batching: str = "all_images"  # all_images|single_image|timestep|...
+    batch_size: int = 4096  # rays per optimization step (global)
+    factor: int = 0  # image downsample factor
+    spherify: bool = False
+    centering: bool = False  # recenter poses around the average camera
+    random_box: bool = False  # jitter GT box centers (pose-opt experiments)
+    random_yaw: bool = False
+    box_noise: float = 0.5  # meters of uniform box-center noise
+    yaw_noise: float = 5.0  # degrees of yaw noise
+    render_path: bool = False
+    llffhold: int = 8
+    timesteps: int = 5
+    lr_init: float = 5e-4
+    lr_final: float = 5e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+    eps_delay_steps: int = 0
+    eps_init: float = 3.0  # URF near-loss window start
+    eps_final: float = 0.2
+    eps_max_steps: int = 1_000_000
+    l2_reg: bool = False
+    alpha_init: float = 0.0  # BARF frequency-annealing schedule
+    alpha_final: float = 10.0
+    alpha_delay_steps: int = 0
+    alpha_max_steps: int = 1_000_000
+    psreg_init: float = 10e5
+    psreg_final: float = 10e-1
+    psreg_delay_steps: int = 5000
+    psreg_delay_mult: float = 1.0
+    tv_loss_mult: float = 0.0001
+    depth_loss_mult: float = 0.0001
+    near_loss_mult: float = 0.01
+    empty_loss_mult: float = 1.0
+    sky_loss_mult: float = 1.0
+    distortion_loss_mult: float = 1e-6  # hardcoded in reference train_boxpose.py:220
+    c2f_steps: Tuple[int, ...] = (5000, 10000, 15000)
+    grad_max_norm: float = 0.0
+    grad_max_val: float = 0.0
+    max_steps: int = 1_000_000
+    save_every: int = 100_000
+    print_every: int = 100
+    gc_every: int = 10_000
+    test_render_interval: int = 1
+    render_every: int = 5000
+    chunk: int = 8192
+    disable_multiscale_loss: bool = False
+    randomized: bool = True
+    near: float = 2.0
+    far: float = 6.0
+    coarse_loss_mult: float = 0.1
+    box_loss_mult: float = 0.0
+    weight_decay_mult: float = 0.0
+    white_bkgd: bool = False
+    rand_bkgd: bool = True
+    # TPU-first additions (not in the reference):
+    exact_distortion: bool = False  # O(N^2) parity form instead of O(N)
+    checkpoint_keep: int = 100
+    data_parallel_axis: str = "data"
+    model: ModelConfig = field(default_factory=ModelConfig)
+
+    @property
+    def background(self) -> str:
+        """Map the reference's two bools onto a background mode.
+
+        Reference mip.py:321-326: white wins, then random, else mid-gray.
+        """
+        if self.white_bkgd:
+            return "white"
+        if self.rand_bkgd:
+            return "random"
+        return "gray"
+
+
+# Mapping of gin binding targets onto (object path inside Config).
+_SCOPE_TO_PATH = {
+    "Config": (),
+    "MipNerfModel": ("model",),
+    "MLP": ("model", "mlp"),
+    "BoxMLP": ("model", "box_mlp"),
+}
+
+# gin external_configurable names used by the reference configs.
+_ACTIVATION_NAMES = {
+    "flax.nn.relu": "relu",
+    "flax.nn.sigmoid": "sigmoid",
+    "flax.nn.softplus": "softplus",
+    "@flax.nn.relu": "relu",
+    "@flax.nn.sigmoid": "sigmoid",
+    "@flax.nn.softplus": "softplus",
+}
+
+
+def _coerce(value: Any, current: Any) -> Any:
+    """Coerce a parsed literal to the type of the existing dataclass field."""
+    if isinstance(current, bool):
+        return bool(value)
+    if isinstance(current, int) and not isinstance(value, bool):
+        if isinstance(value, float) and value != int(value):
+            return value  # keep e.g. eps_final=0.2 on an int-hinted field
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        return tuple(value)
+    return value
+
+
+def apply_binding(config: Config, scope: str, name: str, value: Any) -> None:
+    """Apply one `Scope.name = value` binding onto the config tree."""
+    if scope not in _SCOPE_TO_PATH:
+        raise ValueError(f"unknown config scope {scope!r}")
+    target = config
+    for attr in _SCOPE_TO_PATH[scope]:
+        target = getattr(target, attr)
+    if not hasattr(target, name):
+        raise ValueError(f"unknown config field {scope}.{name}")
+    current = getattr(target, name)
+    setattr(target, name, _coerce(value, current))
+
+
+def parse_gin_lines(config: Config, lines) -> Config:
+    """Parse reference-style gin lines onto `config` (in place; returned)."""
+    for raw in lines:
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if "=" not in line:
+            raise ValueError(f"cannot parse config line: {raw!r}")
+        lhs, rhs = (s.strip() for s in line.split("=", 1))
+        if "." not in lhs:
+            raise ValueError(f"expected Scope.field on lhs: {raw!r}")
+        scope, name = lhs.split(".", 1)
+        if rhs in _ACTIVATION_NAMES:
+            value: Any = _ACTIVATION_NAMES[rhs]
+        else:
+            value = ast.literal_eval(rhs)
+        apply_binding(config, scope, name, value)
+    return config
+
+
+def load_config(gin_files=(), bindings=(), base: Config | None = None) -> Config:
+    """Build a Config from gin files plus `Scope.field=value` override strings.
+
+    Mirrors reference utils.load_config() (utils.py:162-165) without the gin
+    dependency.
+    """
+    config = base if base is not None else Config()
+    for path in gin_files:
+        with open(path) as f:
+            parse_gin_lines(config, f.readlines())
+    parse_gin_lines(config, bindings)
+    return config
+
+
+def config_to_dict(config) -> dict:
+    """Recursive dataclass -> dict (for checkpoint metadata / logging)."""
+    return dataclasses.asdict(config)

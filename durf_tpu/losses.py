@@ -1,0 +1,218 @@
+"""The training loss stack: RGB, URF depth/near/empty, sky, distortion, pose TV.
+
+Behavioral parity with the loss block of reference train_boxpose.py:67-252
+under the published configs. Differences (documented, all inert for the
+published configs — see docs/DEFECTS.md):
+  * the distortion regularizer defaults to the O(N) cumulative-sum form of the
+    Mip-NeRF 360 paper instead of materializing [B, S, S] matrices
+    (reference train_boxpose.py:146-153); `config.exact_distortion=True`
+    switches to the reference's O(N^2) form for parity runs;
+  * the depth-mask box-weighting is computed per level rather than
+    accumulated across levels (identical when box_loss_mult == 0, which both
+    published configs set).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+
+def weight_l2(variables) -> jax.Array:
+    """Mean squared parameter value (reference train_boxpose.py:69-75)."""
+    tree_sum = lambda fn: jax.tree_util.tree_reduce(
+        lambda x, y: x + fn(y), variables, initializer=0
+    )
+    total = tree_sum(lambda z: jnp.sum(z**2))
+    count = tree_sum(lambda z: jnp.prod(jnp.asarray(z.shape)))
+    return total / count
+
+
+def distortion_loss(weights: jax.Array, t_mids: jax.Array, t_dists: jax.Array, exact: bool = False):
+    """Mip-NeRF 360 distortion: E_{i,j}[w_i w_j |s_i - s_j|] + (1/3) Σ w² Δs.
+
+    Args:
+      weights: [B, S]; t_mids: [B, S] (sorted ascending); t_dists: [B, S].
+      exact: use the O(S²) double sum (reference train_boxpose.py:146-153)
+        instead of the O(S) sorted cumulative-sum identity
+        Σ_ij w_i w_j |s_i−s_j| = 2 Σ_i w_i (s_i W_{<i} − C_{<i}),
+        with W_{<i} = Σ_{j<i} w_j and C_{<i} = Σ_{j<i} w_j s_j.
+    """
+    if exact:
+        w_ij = weights[..., :, None] * weights[..., None, :]
+        s_ij = jnp.abs(t_mids[..., :, None] - t_mids[..., None, :])
+        term1 = (w_ij * s_ij).sum()
+    else:
+        w_cum = jnp.cumsum(weights, axis=-1) - weights
+        ws_cum = jnp.cumsum(weights * t_mids, axis=-1) - weights * t_mids
+        term1 = 2.0 * (weights * (t_mids * w_cum - ws_cum)).sum()
+    term2 = (1.0 / 3.0) * (weights**2 * t_dists).sum()
+    return term1 + term2
+
+
+def urf_depth_losses(
+    weights: jax.Array,
+    t0_vals: jax.Array,
+    depth: jax.Array,
+    gt_depth: jax.Array,
+    depth_mask: jax.Array,
+    eps,
+):
+    """URF LIDAR supervision: depth-MSE, 'near' (line-of-sight) and 'empty'
+    (volume carving) losses.
+
+    Args:
+      weights: [B, S] rendering weights.
+      t0_vals: [B, S] the interval start fenceposts (reference crops
+        t_vals[:, :-1], train_boxpose.py:145).
+      depth: [B] rendered expected depth.
+      gt_depth: [B] metric ground-truth depth (0 = no LIDAR return).
+      depth_mask: [B] {0,1} valid-depth mask (possibly box-boosted).
+      eps: scalar window half-width (annealed over training).
+
+    Returns:
+      (depth_mse, near_loss, empty_loss). Reference train_boxpose.py:155-175:
+      the near target is a peak-normalized Gaussian of width eps/3 around the
+      GT depth, masked to the ±eps window; 'empty' penalizes weight beyond
+      depth+eps; all normalized by the number of valid-depth rays.
+    """
+    denom = jnp.maximum(depth_mask.sum(), 1.0)
+    depth_t = jnp.broadcast_to(gt_depth[..., None], t0_vals.shape)
+    sigma = (eps / 3.0) ** 2
+
+    mask_near = ((t0_vals > depth_t - eps) & (t0_vals < depth_t + eps)).astype(weights.dtype)
+    mask_near = mask_near * depth_mask[..., None]
+    mask_empty = (t0_vals > depth_t + eps).astype(weights.dtype) * depth_mask[..., None]
+
+    dist = mask_near * (t0_vals - depth_t)
+    distr = (1.0 / (sigma * jnp.sqrt(2 * jnp.pi))) * jnp.exp(-(dist**2) / (2 * sigma**2))
+    distr = distr / distr.max()
+    distr = distr * mask_near
+
+    near_loss = ((mask_near * weights - distr) ** 2).sum() / denom
+    empty_loss = ((mask_empty * weights) ** 2).sum() / denom
+    depth_mse = (depth_mask * (depth - gt_depth) ** 2).sum() / denom
+    return depth_mse, near_loss, empty_loss
+
+
+def sky_loss(depth: jax.Array, sky_mask: jax.Array, gt_sky: jax.Array):
+    """Push sky rays to (near-)infinite disparity-style depth.
+
+    sky_depth = 1 - 1/max(depth, 1) on sky rays, regressed to the dataset's
+    sky constant (0.995 CARLA / 0.975 Waymo — the 'max NDC disparity').
+    Reference train_boxpose.py:186-189.
+    """
+    denom = jnp.maximum(sky_mask.sum(), 1.0)
+    sky_depth = sky_mask * (1.0 - (1.0 / jnp.maximum(sky_mask * depth, 1.0)))
+    return ((sky_mask * (sky_depth - gt_sky)) ** 2).sum() / denom
+
+
+def compute_losses(
+    config,
+    levels: List[Dict[str, Any]],
+    batch: Dict[str, Any],
+    prev_pose: jax.Array,
+    eps,
+) -> tuple[jax.Array, Dict[str, jax.Array]]:
+    """Aggregate the full per-level loss stack.
+
+    Args:
+      config: durf_tpu.configs.Config.
+      levels: model output list (see MipNerf.__call__).
+      batch: dict with 'rays' (Rays), 'pixels' [B,3], 'depth' [B,1],
+        'sky' [B,1], 'target' [N_obj,6].
+      prev_pose: [N_obj, 6] pose of the adjacent timestep for the TV loss.
+      eps: URF window half-width for this step.
+
+    Returns:
+      (total_loss, aux) where aux holds per-level scalars for logging.
+    """
+    rays = batch["rays"]
+    pixels = batch["pixels"][..., :3]
+    gt_depth = batch["depth"].squeeze(-1) if batch["depth"].ndim > 1 else batch["depth"]
+    gt_sky = batch["sky"].squeeze(-1) if batch["sky"].ndim > 1 else batch["sky"]
+
+    mask = rays.lossmult
+    if config.disable_multiscale_loss:
+        mask = jnp.ones_like(mask)
+
+    depth_valid = (gt_depth > 0.0).astype(jnp.float32)
+    sky_valid = (gt_sky > 0.0).astype(jnp.float32)
+    sky_valid = sky_valid - depth_valid * sky_valid  # LIDAR wins on overlap
+
+    per_level: Dict[str, list] = {
+        k: []
+        for k in (
+            "rgb",
+            "obj_rgb",
+            "depth",
+            "near",
+            "empty",
+            "sky",
+            "distortion",
+            "tv",
+            "offset",
+            "offset_x",
+            "offset_y",
+            "offset_z",
+            "offset_yaw",
+        )
+    }
+
+    for level in levels:
+        rgb = level["rgb"]
+        depth = level["depth"]
+        weights = level["weights"]
+        t0_vals = level["t_vals"][:, :-1]
+        dyn_mask = level["dyn_mask"]  # [B, 1]
+        pose, rot = level["pose"], level["rot"]  # [N_obj, 3] each
+
+        # Pose diagnostics vs the (noise-free) targets.
+        target = batch["target"]
+        per_level["offset"].append(((pose - target[:, :3]) ** 2).sum())
+        per_level["offset_x"].append(((pose[:, 0] - target[:, 0]) ** 2).sum())
+        per_level["offset_y"].append(((pose[:, 1] - target[:, 1]) ** 2).sum())
+        per_level["offset_z"].append(((pose[:, 2] - target[:, 2]) ** 2).sum())
+        per_level["offset_yaw"].append(((rot - target[:, 3:]) ** 2).sum())
+
+        # Temporal smoothness vs the adjacent timestep's pose.
+        per_level["tv"].append(((pose - prev_pose[:, :3]) ** 2).sum())
+
+        # Rays whose GT depth lies inside an object box get the box boost.
+        box_mask = (gt_depth < level["z_out"]).astype(jnp.float32)
+        depth_mask = depth_valid + config.box_loss_mult * dyn_mask.squeeze(-1) * box_mask
+
+        per_level["distortion"].append(
+            distortion_loss(weights, level["t_mids"], level["t_dists"], config.exact_distortion)
+        )
+
+        d_mse, near_l, empty_l = urf_depth_losses(
+            weights, t0_vals, depth, gt_depth, depth_mask, eps
+        )
+        per_level["depth"].append(d_mse)
+        per_level["near"].append(near_l)
+        per_level["empty"].append(empty_l)
+        per_level["sky"].append(sky_loss(depth, sky_valid, gt_sky))
+
+        rgb_weight = mask + config.box_loss_mult * dyn_mask * box_mask[..., None]
+        per_level["rgb"].append(((rgb_weight * (rgb - pixels) ** 2).sum()) / mask.sum())
+        per_level["obj_rgb"].append(
+            (dyn_mask * (rgb - pixels) ** 2).sum() / jnp.maximum(dyn_mask.sum(), 1e-8)
+        )
+
+    aux = {k: jnp.asarray(v) for k, v in per_level.items()}
+
+    # Aggregation weights follow reference train_boxpose.py:211-220.
+    def agg(vals, final_mult, coarse_mult):
+        return final_mult * vals[-1] + coarse_mult * jnp.sum(vals[:-1])
+
+    total = agg(aux["rgb"], 1.0, config.coarse_loss_mult)
+    total += agg(aux["sky"], 10.0 * config.sky_loss_mult, config.sky_loss_mult)
+    total += agg(aux["depth"], config.depth_loss_mult, 0.1 * config.depth_loss_mult)
+    total += agg(aux["near"], config.near_loss_mult, 0.1 * config.near_loss_mult)
+    total += agg(aux["empty"], config.empty_loss_mult, 0.1 * config.empty_loss_mult)
+    total += agg(aux["tv"], config.tv_loss_mult, 0.1 * config.tv_loss_mult)
+    total += agg(aux["distortion"], config.distortion_loss_mult, config.distortion_loss_mult)
+    return total, aux

@@ -1,0 +1,300 @@
+"""The dynamic scene-graph Mip-NeRF model: background field + per-object
+fields inside jointly-optimized oriented bounding boxes.
+
+Behavior parity with reference internal/obbpose_model.py:42-261, redesigned
+TPU-first:
+  * the per-object loop is **vmapped** over a leading object axis (one set of
+    batched MXU matmuls) instead of python-unrolled into the jaxpr
+    (reference obbpose_model.py:174-201);
+  * one flax module with static config instead of gin-decorated globals;
+  * optional bfloat16 compute and a fused Pallas MLP path.
+
+Forward structure per level (reference call stack, SURVEY.md §3.2):
+  stratified / PDF resampling -> per-object masked windowed-IPE + BoxMLP ->
+  background via mip360 contraction + IPE + main MLP -> additive raw merge ->
+  density noise -> activations -> volumetric rendering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from durf_tpu import ops
+from durf_tpu.configs import ModelConfig
+from durf_tpu.models.mlp import NerfMLP, get_activation
+from durf_tpu.rays import Rays
+
+
+class MipNerf(nn.Module):
+    """Mip-NeRF with optional NSG-style dynamic scene graph.
+
+    Call with `init_boxes=None` (and config.dynamics=False) for a pure static
+    Mip-NeRF; with a [T, N_obj, 6] box table for the dynamic model.
+    """
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        rng: Optional[jax.Array],
+        rays: Rays,
+        init_boxes: Optional[jax.Array],
+        ext: Optional[jax.Array],
+        ts: Optional[jax.Array],
+        randomized: bool,
+        background: str,
+        alpha,
+    ) -> List[Dict[str, Any]]:
+        """Render a batch of rays.
+
+        Args:
+          rng: PRNG key (needed when randomized or background='random').
+          rays: Rays pytree with [B, ...] leaves.
+          init_boxes: [T, N_obj, 6] initial box poses ([x, y, z, rotvec]) used
+            to initialize the learnable pose table, or None (static model).
+          ext: [N_obj, 3] box half-extents (the slab test uses ±ext).
+          ts: scalar int — the timestep this batch was drawn from.
+          randomized: stratified jitter + density noise (train mode).
+          background: 'white' | 'gray' | 'black' | 'random'.
+          alpha: BARF frequency-annealing scalar.
+
+        Returns:
+          A list with one dict per level: rgb [B,3], depth [B], acc [B],
+          weights [B,S], t_vals [B,S+1], t_mids [B,S], t_dists [B,S],
+          pose [N_obj,3], rot [N_obj,3], dyn_mask [B,1], z_out [B].
+        """
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        dynamics = cfg.dynamics and init_boxes is not None
+
+        origins = rays.origins
+        dirs = rays.directions
+        batch = origins.shape[0]
+
+        mlp = NerfMLP(cfg.mlp, compute_dtype=dtype, name="background_mlp")
+
+        if dynamics:
+            n_obj = init_boxes.shape[-2]
+            # Learnable [T, N_obj, 6] pose table, initialized from the dataset's
+            # (possibly noise-corrupted) box poses (reference
+            # obbpose_model.py:35-39, 88).
+            pose_table = self.param("box_centers", lambda _, x: x, init_boxes)
+
+            box_pose = pose_table[ts.squeeze(), :, :3]  # [N_obj, 3]
+            if cfg.no_pose_opt:
+                box_pose = lax.stop_gradient(box_pose)
+            box_rot = pose_table[ts.squeeze(), :, 3:]  # [N_obj, 3]
+            if cfg.no_yaw_opt:
+                box_rot = lax.stop_gradient(box_rot)
+
+            box_mat = ops.axis_angle_to_matrix(box_rot)  # [N_obj, 3, 3]
+            box_pose_b = jnp.broadcast_to(box_pose, (batch, n_obj, 3))
+            box_mat_b = jnp.broadcast_to(box_mat, (batch, n_obj, 3, 3))
+            box_dims = jnp.broadcast_to(ext, (batch, n_obj, 3))
+
+            origins_o, dirs_o = ops.world_to_box_frames(origins, dirs, box_pose_b, box_mat_b)
+            z_in, z_out, hit = ops.ray_box_intersection(origins_o, dirs_o, -box_dims, box_dims)
+            hit = lax.stop_gradient(hit)  # [B, N_obj]
+
+            miss_all = (hit.sum(axis=-1) == 0).astype(origins.dtype)  # [B]
+
+            # Composite rays: object-frame origin/dir where a box is hit
+            # (assumes boxes don't overlap along a ray — reference
+            # obbpose_model.py:117-122), world rays elsewhere.
+            origins_s = (origins_o * hit[..., None]).sum(axis=-2) + miss_all[..., None] * origins
+            dirs_s = (dirs_o * hit[..., None]).sum(axis=-2) + miss_all[..., None] * dirs
+
+            z_out_ret = (hit * z_out).sum(axis=-1)  # [B]
+            dyn_mask = hit.sum(axis=-1, keepdims=True)  # [B, 1]
+
+            # One vmapped module = one batched matmul stack over all objects
+            # (replaces the reference's python loop over BoxMLP_i).
+            # in_axes=(0, None): per-object encoded samples, shared view
+            # condition (identical across objects — no need to materialize an
+            # [N_obj, B, F] broadcast).
+            box_mlps = nn.vmap(
+                NerfMLP,
+                in_axes=(0, None),
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+            )(cfg.box_mlp, compute_dtype=dtype, name="object_mlps")
+        else:
+            n_obj = 0
+            origins_s, dirs_s = origins, dirs
+            z_out_ret = jnp.zeros((batch,), origins.dtype)
+            dyn_mask = jnp.zeros((batch, 1), origins.dtype)
+            box_pose = jnp.zeros((1, 3), origins.dtype)
+            box_rot = jnp.zeros((1, 3), origins.dtype)
+
+        if cfg.use_viewdirs:
+            viewdirs_enc = ops.pos_enc(rays.viewdirs, 0, cfg.deg_view, append_identity=True)
+        else:
+            viewdirs_enc = None
+
+        ret: List[Dict[str, Any]] = []
+        t_vals = None
+        weights = None
+        for i_level in range(cfg.num_levels):
+            if rng is not None:
+                key, rng = jax.random.split(rng)
+            else:
+                key = None
+            if i_level == 0:
+                t_vals, samples = ops.sample_along_rays(
+                    key,
+                    origins_s,
+                    dirs_s,
+                    rays.radii,
+                    cfg.num_samples,
+                    rays.near,
+                    rays.far,
+                    randomized,
+                    cfg.lindisp,
+                    cfg.ray_shape,
+                )
+            else:
+                t_vals, samples = ops.resample_along_rays(
+                    key,
+                    origins_s,
+                    dirs_s,
+                    rays.radii,
+                    t_vals,
+                    weights,
+                    randomized,
+                    cfg.ray_shape,
+                    cfg.stop_level_grad,
+                    cfg.resample_padding,
+                )
+
+            if cfg.disable_integration:
+                samples = (samples[0], jnp.zeros_like(samples[1]))
+
+            if dynamics:
+                mean, cov = samples  # [B, S, 3], [B, S, 3, 3]
+                # Stack per-object masked samples on a leading object axis.
+                hit_s = hit.T[..., None, None]  # [N_obj, B, 1, 1]
+                obj_mean = hit_s * mean[None]  # [N_obj, B, S, 3]
+                obj_cov = hit_s[..., None] * cov[None]  # [N_obj, B, S, 3, 3]
+                obj_enc = ops.windowed_ipe(
+                    (obj_mean, obj_cov), cfg.min_deg_point, cfg.max_deg_point, alpha
+                )
+                obj_rgb, obj_density = box_mlps(obj_enc, viewdirs_enc)
+                obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
+                obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
+
+                # Background gets the complement mask (can dip negative when a
+                # ray hits several boxes — reference semantics,
+                # obbpose_model.py:205).
+                bkgd_mask = lax.stop_gradient(1.0 - hit.sum(axis=-1)[:, None, None])  # [B,1,1]
+                samples = (bkgd_mask * mean, bkgd_mask[..., None] * cov)
+
+            if cfg.contraction:
+                samples = ops.contract_gaussian(*samples, threshold=cfg.contract_threshold)
+            samples_enc = ops.integrated_pos_enc(samples, cfg.min_deg_point, cfg.max_deg_point)
+
+            raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc)
+            if dynamics:
+                raw_rgb = raw_rgb + obj_rgbs
+                raw_density = raw_density + obj_densities
+
+            if randomized and cfg.density_noise > 0:
+                key, rng = jax.random.split(rng)
+                raw_density = raw_density + cfg.density_noise * jax.random.normal(
+                    key, raw_density.shape, dtype=raw_density.dtype
+                )
+
+            rgb = get_activation(cfg.rgb_activation)(raw_rgb)
+            density = get_activation(cfg.density_activation)(raw_density + cfg.density_bias)
+            comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists = ops.volumetric_rendering(
+                rgb, density, t_vals, dirs_s, background=background, key=key
+            )
+            ret.append(
+                dict(
+                    rgb=comp_rgb,
+                    depth=depth,
+                    acc=acc,
+                    weights=weights,
+                    t_vals=t_vals,
+                    t_mids=t_mids,
+                    t_dists=t_dists,
+                    pose=box_pose,
+                    rot=box_rot,
+                    dyn_mask=dyn_mask,
+                    z_out=z_out_ret,
+                )
+            )
+        return ret
+
+
+def construct_model(rng: jax.Array, example_batch: dict, config: ModelConfig):
+    """Build the model and init its variables from an example batch.
+
+    The pose table is seeded from example_batch['init'] (reference
+    obbpose_model.py:264-291).
+    """
+    model = MipNerf(config)
+    init_boxes = example_batch.get("init")
+    ext = example_batch.get("ext")
+    ts = example_batch.get("ts")
+    key, rng = jax.random.split(rng)
+    variables = model.init(
+        key,
+        rng=rng,
+        rays=example_batch["rays"],
+        init_boxes=init_boxes,
+        ext=ext,
+        ts=ts,
+        randomized=False,
+        background="gray",
+        alpha=0.0,
+    )
+    return model, variables
+
+
+def render_image(render_fn, rays: Rays, chunk: int = 8192):
+    """Render a full [H, W] image in chunks through a jitted render_fn.
+
+    Args:
+      render_fn: fn(rays_chunk) -> dict with 'rgb' [N,3], 'depth' [N],
+        'acc' [N] (typically the last level of the model output, already
+        wrapped in jit with sharding — see durf_tpu.train).
+      rays: Rays whose leaves are [H, W, ...].
+      chunk: rays per device step; the final chunk is padded to `chunk` so the
+        jit cache holds exactly one entry (the reference pads to device count,
+        obbpose_model.py:450-461 — padding to a fixed chunk also keeps shapes
+        static for XLA).
+
+    Returns:
+      dict of [H, W, ...] images (rgb, depth, acc).
+    """
+    height, width = rays.origins.shape[:2]
+    num_rays = height * width
+    flat = jax.tree.map(lambda r: r.reshape((num_rays, r.shape[-1])), rays)
+
+    outs = []
+    for i in range(0, num_rays, chunk):
+        chunk_rays = jax.tree.map(lambda r: r[i : i + chunk], flat)
+        pad = chunk - chunk_rays.origins.shape[0]
+        if pad > 0:
+            chunk_rays = jax.tree.map(
+                lambda r: jnp.concatenate([r, jnp.repeat(r[-1:], pad, axis=0)], axis=0),
+                chunk_rays,
+            )
+        out = render_fn(chunk_rays)
+        if pad > 0:
+            out = jax.tree.map(lambda x: x[: chunk - pad], out)
+        outs.append(jax.device_get(out))
+
+    import numpy as np
+
+    merged = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+    return {
+        k: v.reshape((height, width) + v.shape[1:]) for k, v in merged.items()
+    }

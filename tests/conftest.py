@@ -1,7 +1,13 @@
-"""Test config: force an 8-device virtual CPU mesh before jax initializes.
+"""Test config: force a true 8-device virtual CPU mesh before any test imports jax.
 
-Multi-device sharding tests run on CPU via
-XLA_FLAGS=--xla_force_host_platform_device_count=8 (SURVEY.md §4).
+Two traps on this box (see .claude/skills/verify/SKILL.md):
+  * the baked sitecustomize registers the remote 'axon' TPU backend and
+    force-overrides jax_platforms to "axon,cpu" — env vars alone do NOT give
+    you CPU. We must jax.config.update after import, before backends init.
+    Without this, "CPU" tests silently dispatch op-by-op to the real TPU
+    through a socket relay (minutes per test).
+  * one CPU core only — compiles are slow; a persistent compilation cache
+    keeps re-runs fast.
 """
 
 import os
@@ -10,3 +16,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Persistent compilation cache: this box has ONE cpu core and XLA compiles of
+# the full model graph take minutes; cache them across test runs/processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/durf_tpu_xla_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+# Defeat the sitecustomize override (it sets jax_platforms="axon,cpu").
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,239 @@
+"""Tests for the MipNerf scene-graph model (tiny shapes; CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from durf_tpu.configs import MLPConfig, ModelConfig
+from durf_tpu.models import MipNerf, construct_model
+from durf_tpu.rays import Rays
+
+
+def tiny_model_config(**kw) -> ModelConfig:
+    base = dict(
+        num_samples=4,
+        num_levels=2,
+        max_deg_point=3,
+        deg_view=2,
+        num_objects=2,
+        timesteps=3,
+        density_noise=0.0,
+        mlp=MLPConfig(net_depth=2, net_width=16, net_width_condition=8),
+        box_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_rays(batch=4, seed=0) -> Rays:
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(batch, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.5
+    ones = np.ones((batch, 1), np.float32)
+    return Rays(
+        origins=jnp.asarray(rng.normal(size=(batch, 3)) * 0.1, jnp.float32),
+        directions=jnp.asarray(dirs),
+        viewdirs=jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)),
+        radii=jnp.asarray(ones * 0.01),
+        lossmult=jnp.asarray(ones),
+        near=jnp.asarray(ones * 0.5),
+        far=jnp.asarray(ones * 6.0),
+    )
+
+
+def make_batch(batch=4, n_obj=2, t=3):
+    rng = np.random.default_rng(1)
+    init = rng.normal(size=(t, n_obj, 6)).astype(np.float32)
+    init[..., :3] *= 2.0
+    return {
+        "rays": make_rays(batch),
+        "init": jnp.asarray(init),
+        "ext": jnp.asarray(np.abs(rng.normal(size=(n_obj, 3))) + 0.5, jnp.float32),
+        "ts": jnp.asarray(1),
+    }
+
+
+@pytest.fixture(scope="module")
+def dyn_model():
+    cfg = tiny_model_config()
+    batch = make_batch()
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    return cfg, batch, model, variables
+
+
+def test_output_shapes_and_levels(dyn_model):
+    cfg, batch, model, variables = dyn_model
+    out = model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=True,
+        background="gray",
+        alpha=4.0,
+    )
+    assert len(out) == cfg.num_levels
+    B, S = 4, cfg.num_samples
+    for level in out:
+        assert level["rgb"].shape == (B, 3)
+        assert level["depth"].shape == (B,)
+        assert level["acc"].shape == (B,)
+        assert level["weights"].shape == (B, S)
+        assert level["t_vals"].shape == (B, S + 1)
+        assert level["pose"].shape == (2, 3)
+        assert level["rot"].shape == (2, 3)
+        assert level["dyn_mask"].shape == (B, 1)
+        assert level["z_out"].shape == (B,)
+        assert np.all(np.isfinite(np.asarray(level["rgb"])))
+        assert np.all(np.asarray(level["rgb"]) >= 0) and np.all(np.asarray(level["rgb"]) <= 1)
+
+
+def test_pose_table_param_and_object_mlp_stacking(dyn_model):
+    cfg, batch, model, variables = dyn_model
+    params = variables["params"]
+    assert params["box_centers"].shape == (3, 2, 6)
+    np.testing.assert_allclose(np.asarray(params["box_centers"]), np.asarray(batch["init"]))
+    # Object MLP params are stacked along a leading object axis (vmapped).
+    kernel = params["object_mlps"]["trunk_0"]["kernel"]
+    assert kernel.shape[0] == 2
+
+
+def test_deterministic_eval(dyn_model):
+    cfg, batch, model, variables = dyn_model
+    kwargs = dict(
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+    )
+    a = model.apply(variables, rng=jax.random.key(1), **kwargs)
+    b = model.apply(variables, rng=jax.random.key(2), **kwargs)
+    np.testing.assert_allclose(np.asarray(a[-1]["rgb"]), np.asarray(b[-1]["rgb"]), atol=1e-6)
+
+
+def test_static_model_no_pose_param():
+    cfg = tiny_model_config(dynamics=False)
+    batch = make_batch()
+    batch = {"rays": batch["rays"], "init": None, "ext": None, "ts": None}
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    assert "box_centers" not in variables["params"]
+    assert "object_mlps" not in variables["params"]
+    out = model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=make_rays(),
+        init_boxes=None,
+        ext=None,
+        ts=None,
+        randomized=False,
+        background="white",
+        alpha=0.0,
+    )
+    assert out[-1]["rgb"].shape == (4, 3)
+
+
+@pytest.mark.parametrize("no_pose_opt,expect_pose_grad", [(False, True), (True, False)])
+def test_pose_gradient_gating(no_pose_opt, expect_pose_grad):
+    cfg = tiny_model_config(no_pose_opt=no_pose_opt, no_yaw_opt=no_pose_opt)
+    batch = make_batch()
+    # Put a box right on the ray paths so hits (and pose gradients) exist.
+    init = np.asarray(batch["init"]).copy()
+    init[:, :, :3] = 0.0
+    init[:, :, 3:] = 0.01
+    batch["init"] = jnp.asarray(init)
+    batch["ext"] = jnp.full((2, 3), 3.0)
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params},
+            rng=jax.random.key(1),
+            rays=batch["rays"],
+            init_boxes=batch["init"],
+            ext=batch["ext"],
+            ts=batch["ts"],
+            randomized=False,
+            background="gray",
+            alpha=4.0,
+        )
+        return sum(jnp.mean(level["rgb"] ** 2) for level in out)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    pose_grad = np.abs(np.asarray(grads["box_centers"])).max()
+    if expect_pose_grad:
+        assert pose_grad > 0.0
+    else:
+        assert pose_grad == 0.0
+    # MLP grads must always flow.
+    assert np.abs(np.asarray(grads["background_mlp"]["trunk_0"]["kernel"])).max() > 0
+
+
+def test_rays_hitting_box_get_object_contribution():
+    cfg = tiny_model_config(contraction=False)
+    # Ray 0 goes through the box; ray 1 points away.
+    origins = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 50.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
+    ones = jnp.ones((2, 1))
+    rays = Rays(
+        origins=origins,
+        directions=dirs,
+        viewdirs=dirs,
+        radii=ones * 0.01,
+        lossmult=ones,
+        near=ones * 0.1,
+        far=ones * 10.0,
+    )
+    init = np.zeros((3, 2, 6), np.float32)
+    init[:, 0, :3] = [0.0, 0.0, -5.0]  # box 0 on ray 0's path
+    init[:, 1, :3] = [100.0, 100.0, 100.0]  # box 1 far away
+    batch = {
+        "rays": rays,
+        "init": jnp.asarray(init),
+        "ext": jnp.ones((2, 3)),
+        "ts": jnp.asarray(0),
+    }
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=rays,
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+    )
+    dyn_mask = np.asarray(out[-1]["dyn_mask"])
+    np.testing.assert_allclose(dyn_mask[:, 0], [1.0, 0.0])
+    z_out = np.asarray(out[-1]["z_out"])
+    assert z_out[0] > 0 and z_out[1] == 0.0
+
+
+def test_bfloat16_compute_path(dyn_model):
+    cfg0, batch, _, _ = dyn_model
+    cfg = tiny_model_config(compute_dtype="bfloat16")
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+    )
+    rgb = out[-1]["rgb"]
+    assert rgb.dtype == jnp.float32  # outputs come back fp32
+    assert np.all(np.isfinite(np.asarray(rgb)))
+    # Params stay fp32.
+    k = variables["params"]["background_mlp"]["trunk_0"]["kernel"]
+    assert k.dtype == jnp.float32
