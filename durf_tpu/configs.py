@@ -128,6 +128,7 @@ class Config:
     white_bkgd: bool = False
     rand_bkgd: bool = True
     # TPU-first additions (not in the reference):
+    use_c2f: bool = False  # coarse-to-fine resolution pyramid (16/12/8/4)
     exact_distortion: bool = False  # O(N^2) parity form instead of O(N)
     checkpoint_keep: int = 100
     data_parallel_axis: str = "data"

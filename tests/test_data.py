@@ -1,0 +1,171 @@
+"""Data layer tests: synthetic scene fixture -> loader -> batching pipeline."""
+
+import numpy as np
+import pytest
+
+from durf_tpu.configs import Config
+from durf_tpu.data import RayDataset, load_scene
+from durf_tpu.data.synthetic import generate_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene")
+    generate_scene(str(d), timesteps=3, width=80, height=64, focal=70.0, factors=(4,))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def c2f_scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene_c2f")
+    generate_scene(str(d), timesteps=3, width=160, height=128, focal=140.0, factors=(4, 8, 12, 16))
+    return str(d)
+
+
+def carla_config(**kw) -> Config:
+    cfg = Config(
+        dataset_loader="carla_dyn",
+        batching="timestep",
+        batch_size=32,
+        factor=4,
+        spherify=True,
+        centering=True,
+        near=0.0,
+        far=40.0,
+        timesteps=3,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+class TestSceneLoading:
+    def test_train_split_excludes_test_indices(self, scene_dir):
+        cfg = carla_config()
+        train = load_scene(scene_dir, cfg, "train")
+        test = load_scene(scene_dir, cfg, "test")
+        assert train.n_examples == 13  # 15 images - 2 test
+        assert test.n_examples == 2
+        # carla test indices 10, 11 are timestep 3 (images 10-14).
+        np.testing.assert_array_equal(test.timesteps, [3, 3])
+
+    def test_image_depth_sky_shapes_consistent(self, scene_dir):
+        scene = load_scene(scene_dir, carla_config(), "train")
+        for img, d, s, r in zip(scene.images, scene.depth, scene.sky, scene.rays):
+            assert img.shape[:2] == d.shape == s.shape
+            assert r.origins.shape == img.shape[:2] + (3,)
+            assert img.shape == (16, 20, 3)  # 64/4, 80/4
+
+    def test_world_rescaled_by_5(self, scene_dir):
+        scene = load_scene(scene_dir, carla_config(), "train")
+        # Depth was metric (<= ~120 m); after /5 it must be <= 24.
+        dmax = max(d.max() for d in scene.depth)
+        assert 0 < dmax <= 25.0
+        # Sky constant is the CARLA value.
+        assert {v for s in scene.sky for v in np.unique(s)} <= {0.0, np.float32(0.995)}
+
+    def test_box_table_and_extents(self, scene_dir):
+        scene = load_scene(scene_dir, carla_config(), "train")
+        assert list(scene.obj_ids) == [1, 2]
+        init = scene.init_table(use_off=False)
+        assert init.shape == (3, 2, 6)
+        ext = scene.boxes_for("ext", 1)
+        # CARLA extents are half extents already; scaled by 1/5 only.
+        np.testing.assert_allclose(ext[0], np.array([1.0, 0.8, 2.0]) / 5.0, atol=1e-5)
+
+    def test_box_rotation_is_world_to_object(self, scene_dir):
+        from scipy.spatial.transform import Rotation
+
+        from durf_tpu.data.format import load_boxes_3d
+        from durf_tpu.data.scene import recenter_poses
+        from durf_tpu.data.format import load_poses_bounds
+
+        cfg = carla_config()
+        scene = load_scene(scene_dir, cfg, "train")
+        raw = load_boxes_3d(scene_dir)
+        poses, _, _ = load_poses_bounds(scene_dir)
+        poses[:, :2, 4] = np.floor(poses[:, :2, 4] / 4)
+        poses[:, 2, 4] /= 4
+        _, c2w = recenter_poses(poses)
+        world_pose = np.linalg.inv(c2w) @ raw["2_1_center"]
+        stored = scene.box_pose["2_1_center"]
+        # Translation: recentered and /5.
+        np.testing.assert_allclose(stored[:3], world_pose[:3, 3] / 5.0, atol=1e-5)
+        # Rotation: rotvec of the INVERSE (world->object) rotation.
+        expected = Rotation.from_matrix(np.linalg.inv(world_pose[:3, :3])).as_rotvec()
+        np.testing.assert_allclose(stored[3:], expected, atol=1e-5)
+
+    def test_random_box_noise_only_in_off(self, scene_dir):
+        cfg = carla_config(random_box=True, box_noise=0.5)
+        scene = load_scene(scene_dir, cfg, "train")
+        center = scene.boxes_for("center", 2)
+        off = scene.boxes_for("off", 2)
+        d = np.abs(center[:, :3] - off[:, :3])
+        assert d.max() > 1e-4  # noise applied
+        assert d.max() <= 0.5 / 5.0 * np.sqrt(3) + 1e-6  # bounded by noise/world scale
+        np.testing.assert_allclose(center[:, 3:], off[:, 3:], atol=1e-7)  # yaw unchanged
+
+    def test_static_scene_without_boxes(self, tmp_path):
+        import os
+        import shutil
+
+        src = str(tmp_path / "static")
+        generate_scene(src, timesteps=3, width=80, height=64, factors=(4,))
+        for name in ("3D_boxes.npy", "2D_boxes.npz", "depth_images.npz", "sky_masks.npz"):
+            os.remove(os.path.join(src, name))
+        scene = load_scene(src, carla_config(), "train")
+        assert scene.box_pose == {} or len(scene.box_pose) == 0
+        assert all(d.max() == 0 for d in scene.depth)
+
+
+class TestRayDataset:
+    def test_timestep_train_batches(self, scene_dir):
+        cfg = carla_config()
+        ds = RayDataset("train", scene_dir, cfg)
+        batch = next(ds)
+        assert batch["pixels"].shape == (32, 3)
+        assert batch["depth"].shape == (32, 1)
+        assert batch["sky"].shape == (32, 1)
+        assert batch["rays"].origins.shape == (32, 3)
+        assert batch["init"].shape == (3, 2, 6)
+        assert batch["target"].shape == (2, 6)
+        assert batch["ext"].shape == (2, 3)
+        assert 0 <= int(batch["ts"]) < 3
+        # Batches differ (random sampling).
+        b2 = next(ds)
+        assert not np.array_equal(batch["pixels"], b2["pixels"]) or int(batch["ts"]) != int(
+            b2["ts"]
+        )
+
+    def test_peek_does_not_consume(self, scene_dir):
+        ds = RayDataset("train", scene_dir, carla_config())
+        p = ds.peek()
+        b = next(ds)
+        np.testing.assert_array_equal(p["pixels"], b["pixels"])
+
+    def test_test_split_full_images(self, scene_dir):
+        ds = RayDataset("test", scene_dir, carla_config())
+        batch = next(ds)
+        assert batch["pixels"].shape == (16, 20, 3)
+        assert batch["rays"].origins.shape == (16, 20, 3)
+        assert batch["depth"].shape == (16, 20, 1)
+        assert int(batch["ts"]) == 2  # test images are timestep 3 (0-based 2)
+
+    def test_c2f_factor_schedule(self, c2f_scene_dir):
+        cfg = carla_config(use_c2f=True, c2f_steps=(10, 20, 30), batch_size=8)
+        ds = RayDataset("train", c2f_scene_dir, cfg)
+        assert ds._current_factor() == 16
+        ds.set_step(15)
+        assert ds._current_factor() == 12
+        ds.set_step(25)
+        assert ds._current_factor() == 8
+        ds.set_step(31)
+        assert ds._current_factor() == 4
+        batch = next(ds)
+        assert batch["pixels"].shape == (8, 3)
+
+    def test_all_images_batching(self, scene_dir):
+        cfg = carla_config(batching="all_images")
+        ds = RayDataset("train", scene_dir, cfg)
+        batch = next(ds)
+        assert batch["pixels"].shape == (32, 3)
