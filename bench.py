@@ -1,0 +1,82 @@
+"""Benchmark: training-step ray-sample throughput on the real chip.
+
+Runs the flagship dynamic scene-graph model (reference waymo.gin operating
+point: 2 levels x 128 samples, 8x256 background MLP + 2 object MLPs,
+full loss stack + Adam) and reports ray-samples/sec/chip.
+
+Baseline target (BASELINE.md): >= 5M ray-samples/sec/chip on TPU v5e.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+# Persistent compilation cache (first compile of the big train step is slow).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/durf_tpu_xla_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import numpy as np
+
+BASELINE_RAY_SAMPLES_PER_SEC = 5e6
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=3)
+    args = p.parse_args()
+
+    from __graft_entry__ import _flagship_config
+    from durf_tpu.data.synthetic import example_ray_batch
+    from durf_tpu.models import construct_model
+    from durf_tpu.parallel import make_mesh, replicate, shard_batch
+    from durf_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    config = _flagship_config()
+    config.batch_size = args.batch_size
+
+    mesh = make_mesh()
+    n_chips = mesh.devices.size
+    batch = example_ray_batch(batch_size=config.batch_size)
+    batch_dev = shard_batch(batch, mesh, config.batch_size)
+
+    model, variables = construct_model(jax.random.key(0), batch_dev, config.model)
+    tx = make_optimizer(config)
+    state = jax.device_put(create_train_state(config, variables, tx), replicate(mesh))
+    train_step = jax.jit(
+        make_train_step(model, config, tx, jax.random.key(1)), donate_argnums=(0,)
+    )
+
+    for _ in range(args.warmup):
+        state, stats = train_step(state, batch_dev)
+    jax.block_until_ready(stats["train/loss"])
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        state, stats = train_step(state, batch_dev)
+    jax.block_until_ready(stats["train/loss"])
+    dt = time.time() - t0
+
+    samples_per_ray = config.model.num_samples * config.model.num_levels
+    ray_samples_per_sec = args.steps * config.batch_size * samples_per_ray / dt
+    per_chip = ray_samples_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "train_ray_samples_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "ray-samples/s/chip",
+                "vs_baseline": round(per_chip / BASELINE_RAY_SAMPLES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -84,9 +84,9 @@ def _render(
     # Ground plane y=0, checkerboard.
     dy = dirs[..., 1]
     t_ground = np.where(dy < -1e-6, -origin[1] / np.minimum(dy, -1e-6), np.inf)
-    gx = origin[0] + t_ground * dirs[..., 0]
-    gz = origin[2] + t_ground * dirs[..., 2]
     with np.errstate(invalid="ignore"):  # inf*0 on sky rays; masked out below
+        gx = origin[0] + t_ground * dirs[..., 0]
+        gz = origin[2] + t_ground * dirs[..., 2]
         checker = np.nan_to_num((np.floor(gx / 2.0) + np.floor(gz / 2.0)) % 2).astype(np.float32)
     ground_rgb = (0.25 + 0.35 * checker)[..., None] * np.array([1.0, 0.95, 0.85], np.float32)
     hit = t_ground < t_hit
@@ -183,6 +183,47 @@ def generate_scene(
             factor=f,
             base_factor=factors[0],
         )
+
+
+def example_ray_batch(
+    batch_size: int = 512,
+    n_obj: int = 2,
+    timesteps: int = 5,
+    near: float = 0.0,
+    far: float = 40.0,
+    seed: int = 0,
+):
+    """An in-memory training batch (random rays + plausible boxes) for
+    compile checks and benchmarks — no disk IO."""
+    from durf_tpu.rays import Rays
+
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(batch_size, 3)).astype(np.float32)
+    dirs[:, 2] = -np.abs(dirs[:, 2]) - 0.3
+    ones = np.ones((batch_size, 1), np.float32)
+    rays = Rays(
+        origins=(rng.normal(size=(batch_size, 3)) * 0.1).astype(np.float32),
+        directions=dirs,
+        viewdirs=(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)).astype(np.float32),
+        radii=ones * 0.01,
+        lossmult=ones,
+        near=ones * near,
+        far=ones * far,
+    )
+    init = rng.normal(size=(timesteps, n_obj, 6)).astype(np.float32)
+    init[..., :3] = init[..., :3] * 1.5 + np.array([0, 0, -4], np.float32)
+    return {
+        "rays": rays,
+        "pixels": rng.uniform(size=(batch_size, 3)).astype(np.float32),
+        "depth": (rng.uniform(0, 8, size=(batch_size, 1)) * (rng.uniform(size=(batch_size, 1)) > 0.5)).astype(np.float32),
+        "sky": (0.975 * (rng.uniform(size=(batch_size, 1)) > 0.7)).astype(np.float32),
+        "init": init,
+        "target": init[1],
+        "box": init[1],
+        "can": init[0],
+        "ext": (np.abs(rng.normal(size=(n_obj, 3))) * 0.3 + 0.3).astype(np.float32),
+        "ts": np.int32(1),
+    }
 
 
 def main():

@@ -170,7 +170,9 @@ def compute_losses(
         pose, rot = level["pose"], level["rot"]  # [N_obj, 3] each
 
         # Pose diagnostics vs the (noise-free) targets.
-        target = batch["target"]
+        target = batch.get("target")
+        if target is None:  # static scene: no boxes, diagnostics vs zero
+            target = jnp.zeros((pose.shape[0], 6), pose.dtype)
         per_level["offset"].append(((pose - target[:, :3]) ** 2).sum())
         per_level["offset_x"].append(((pose[:, 0] - target[:, 0]) ** 2).sum())
         per_level["offset_y"].append(((pose[:, 1] - target[:, 1]) ** 2).sum())

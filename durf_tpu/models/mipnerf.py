@@ -189,10 +189,14 @@ class MipNerf(nn.Module):
                 obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
                 obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
 
-                # Background gets the complement mask (can dip negative when a
-                # ray hits several boxes — reference semantics,
-                # obbpose_model.py:205).
-                bkgd_mask = lax.stop_gradient(1.0 - hit.sum(axis=-1)[:, None, None])  # [B,1,1]
+                # Background gets the complement mask, clamped at 0: the
+                # reference's unclamped 1 - Σhit goes to -1 when a ray hits
+                # two boxes, flipping the covariance negative and blowing up
+                # exp(+|y_var|) in the IPE to inf (latent NaN in reference
+                # obbpose_model.py:205; see docs/DEFECTS.md).
+                bkgd_mask = lax.stop_gradient(
+                    jnp.maximum(0.0, 1.0 - hit.sum(axis=-1))[:, None, None]
+                )  # [B, 1, 1]
                 samples = (bkgd_mask * mean, bkgd_mask[..., None] * cov)
 
             if cfg.contraction:

@@ -81,6 +81,9 @@ def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool):
         y = mathx.matmul_hp(x, basis)
         # diag(basis^T @ cov @ basis) without materializing the full product.
         y_var = jnp.sum(mathx.matmul_hp(x_cov, basis) * basis, axis=-2)
+    # Variances are non-negative for any PSD covariance; clamp so that a
+    # numerically indefinite cov cannot reach exp(+|y_var|) = inf downstream.
+    y_var = jnp.maximum(y_var, 0.0)
     return expected_sin(
         jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
         jnp.concatenate([y_var] * 2, axis=-1),

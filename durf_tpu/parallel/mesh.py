@@ -1,0 +1,56 @@
+"""Device mesh + sharding helpers (1-D data-parallel mesh over all chips).
+
+Rays are embarrassingly parallel: the batch axis shards across the mesh, the
+(small) MLP parameters replicate, and the only cross-chip traffic is the
+gradient psum XLA inserts — riding ICI within a slice. This replaces the
+reference's pmap/pmean/shard plumbing (train_boxpose.py:370-374,
+utils.py:193-209) with compiler-managed SPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_AXIS) -> Mesh:
+    """A 1-D mesh over the given (default: all) devices."""
+    devices = jax.devices() if devices is None else list(devices)
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Sharding that replicates a pytree's leaves on every device."""
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding that splits the leading (ray-batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch: dict, mesh: Mesh, batch_size: int, axis: str = DATA_AXIS) -> dict:
+    """device_put a host batch: ray-batch leaves sharded, the rest replicated.
+
+    A leaf is 'per-ray' iff its leading dimension equals batch_size (pixels,
+    rays.*, depth, sky); box tables / extents / ts replicate. The batch size
+    must divide the mesh size (checked — the reference enforces the same,
+    train_boxpose.py:332-333).
+    """
+    n = mesh.devices.size
+    if batch_size % n != 0:
+        raise ValueError(f"batch_size {batch_size} must divide mesh size {n}")
+    sharded = batch_sharding(mesh, axis)
+    replicated = replicate(mesh)
+
+    def place(x):
+        x = np.asarray(x)
+        s = sharded if (x.ndim >= 1 and x.shape[0] == batch_size) else replicated
+        return jax.device_put(x, s)
+
+    return jax.tree.map(place, batch)

@@ -1,0 +1,362 @@
+"""Training driver: device-resident jit train step over a data-parallel mesh.
+
+The reference's training call stack (SURVEY.md §3.1) rebuilt TPU-first:
+  * ONE jit'd train step over a jax.sharding.Mesh — no pmap, no host-fed
+    schedule scalars: LR/eps/alpha schedules are computed on device from
+    state.step, and the pose-TV "previous timestep" pose is read from the
+    live pose table instead of a per-step host round-trip (the reference
+    syncs `pose` to host every step, train_boxpose.py:428-437);
+  * optax Adam with the log-lerp LR schedule; gradient NaN-scrub, value clip
+    and global-norm clip (reference train_boxpose.py:262-288);
+  * Orbax checkpoints, tensorboardX metrics, jax.profiler hooks.
+
+CLI (mirrors reference scripts/train_*.sh):
+  python -m durf_tpu.train --data_dir=... --train_dir=... \
+      --gin_file=configs/waymo.gin [--gin_param='Config.x = 1' ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from durf_tpu import mathx, vis
+from durf_tpu.checkpoints import CheckpointManager
+from durf_tpu.configs import Config, load_config
+from durf_tpu.data import get_dataset
+from durf_tpu.losses import compute_losses, weight_l2
+from durf_tpu.metrics import MetricsWriter, Throughput
+from durf_tpu.models import MipNerf, construct_model, render_image
+from durf_tpu.parallel import batch_sharding, make_mesh, replicate, shard_batch
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(config: Config):
+    return functools.partial(
+        mathx.log_lerp_decay,
+        v_init=config.lr_init,
+        v_final=config.lr_final,
+        max_steps=config.max_steps,
+        delay_steps=config.lr_delay_steps,
+        delay_mult=config.lr_delay_mult,
+    )
+
+
+def make_eps_schedule(config: Config):
+    return functools.partial(
+        mathx.log_lerp_decay,
+        v_init=config.eps_init,
+        v_final=config.eps_final,
+        max_steps=config.eps_max_steps,
+        delay_steps=config.eps_delay_steps,
+        delay_mult=config.lr_delay_mult,
+    )
+
+
+def make_alpha_schedule(config: Config):
+    return functools.partial(
+        mathx.freq_alpha_schedule,
+        alpha_init=config.alpha_init,
+        alpha_final=config.alpha_final,
+        delay_steps=config.alpha_delay_steps,
+        max_steps=config.alpha_max_steps,
+    )
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=make_lr_schedule(config))
+
+
+def create_train_state(config: Config, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def _global_norm(tree) -> jax.Array:
+    return jnp.sqrt(
+        jax.tree_util.tree_reduce(lambda x, y: x + jnp.sum(y**2), tree, initializer=0.0)
+    )
+
+
+def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
+    """Build the (un-jitted) train step fn(state, batch) -> (state, stats)."""
+    eps_fn = make_eps_schedule(config)
+    alpha_fn = make_alpha_schedule(config)
+    lr_fn = make_lr_schedule(config)
+    dynamic = config.model.dynamics
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        step = state.step
+        key = jax.random.fold_in(base_key, step)
+        eps = eps_fn(step)
+        alpha = alpha_fn(step)
+
+        init_boxes = batch.get("init")
+        ext = batch.get("ext")
+        ts = batch.get("ts")
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params},
+                rng=key,
+                rays=batch["rays"],
+                init_boxes=init_boxes,
+                ext=ext,
+                ts=ts,
+                randomized=config.randomized,
+                background=config.background,
+                alpha=alpha,
+            )
+            if dynamic and init_boxes is not None:
+                # Previous-timestep pose for the TV loss, straight from the
+                # live table (device-resident; fresher than the reference's
+                # host-tracked copy — train_boxpose.py:428-437).
+                table = jax.lax.stop_gradient(params["box_centers"])
+                adj = jnp.where(ts == 0, ts + 1, ts - 1)
+                prev_pose = table[adj.squeeze()]
+            else:
+                prev_pose = jnp.zeros_like(out[0]["pose"][..., :3])
+                prev_pose = jnp.concatenate([prev_pose, prev_pose], axis=-1)
+            total, aux = compute_losses(config, out, batch, prev_pose, eps)
+            if config.weight_decay_mult > 0:
+                total = total + config.weight_decay_mult * weight_l2(params)
+            return total, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # Gradient hygiene (reference train_boxpose.py:262-286). NaN/Inf are
+        # scrubbed to 0 (the reference's nan_to_num call effectively zeroes
+        # NaN/+Inf but leaves -Inf at float-min until the value clip; see
+        # docs/DEFECTS.md).
+        grads = jax.tree.map(lambda g: jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0), grads)
+        if config.grad_max_val > 0:
+            grads = jax.tree.map(
+                lambda g: jnp.clip(g, -config.grad_max_val, config.grad_max_val), grads
+            )
+        grad_abs_max = jax.tree_util.tree_reduce(
+            lambda x, y: jnp.maximum(x, jnp.max(jnp.abs(y))), grads, initializer=0.0
+        )
+        grad_norm = _global_norm(grads)
+        if config.grad_max_norm > 0:
+            mult = jnp.minimum(1.0, config.grad_max_norm / (1e-7 + grad_norm))
+            grads = jax.tree.map(lambda g: mult * g, grads)
+        grad_norm_clipped = _global_norm(grads)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=step + 1, params=new_params, opt_state=new_opt_state)
+
+        psnrs = mathx.mse_to_psnr(aux["rgb"])
+        stats = {
+            "train/loss": loss,
+            "train/psnr": psnrs[-1],
+            "train/grad_norm": grad_norm,
+            "train/grad_abs_max": grad_abs_max,
+            "train/grad_norm_clipped": grad_norm_clipped,
+            "schedule/lr": lr_fn(step),
+            "schedule/eps": eps,
+            "schedule/alpha": alpha,
+        }
+        for i in range(config.model.num_levels):
+            stats[f"train/psnr_level{i}"] = psnrs[i]
+            for k in ("rgb", "depth", "near", "empty", "sky", "distortion", "tv", "obj_rgb"):
+                stats[f"loss/{k}_{i}"] = aux[k][i]
+            stats[f"pose/offset_{i}"] = aux["offset"][i]
+            stats[f"pose/offset_yaw_{i}"] = aux["offset_yaw"][i]
+        return new_state, stats
+
+    return train_step
+
+
+def make_render_fn(model: MipNerf, config: Config, mesh):
+    """Jitted full-eval forward on a chunk of rays -> last-level outputs."""
+
+    # Eval never composites a random background (reference render_eval_fn
+    # passes rand_bkgd=False, train_boxpose.py:388).
+    eval_background = "white" if config.white_bkgd else "gray"
+
+    def render_chunk(params, rays, init_boxes, ext, ts, alpha):
+        out = model.apply(
+            {"params": params},
+            rng=jax.random.key(0),
+            rays=rays,
+            init_boxes=init_boxes,
+            ext=ext,
+            ts=ts,
+            randomized=False,
+            background=eval_background,
+            alpha=alpha,
+        )[-1]
+        return {"rgb": out["rgb"], "depth": out["depth"], "acc": out["acc"]}
+
+    return jax.jit(
+        render_chunk,
+        in_shardings=(
+            replicate(mesh),  # params
+            batch_sharding(mesh),  # rays
+            replicate(mesh),  # init_boxes
+            replicate(mesh),  # ext
+            replicate(mesh),  # ts
+            replicate(mesh),  # alpha
+        ),
+    )
+
+
+def evaluate_image(render_chunk, params, test_case, alpha, chunk: int):
+    """Render one full test image through the chunked renderer."""
+    render = lambda rays: render_chunk(
+        params,
+        rays,
+        test_case.get("init"),
+        test_case.get("ext"),
+        test_case.get("ts"),
+        jnp.asarray(alpha, jnp.float32),
+    )
+    return render_image(render, test_case["rays"], chunk=chunk)
+
+
+def run_training(
+    config: Config,
+    data_dir: str,
+    train_dir: str,
+    max_steps: Optional[int] = None,
+    log_fn=print,
+) -> TrainState:
+    """The full training loop. Returns the final state."""
+    max_steps = config.max_steps if max_steps is None else max_steps
+    mesh = make_mesh()
+
+    dataset = get_dataset("train", data_dir, config)
+    test_dataset = get_dataset("test", data_dir, config)
+
+    example = dataset.peek()
+    example_dev = shard_batch(example, mesh, config.batch_size)
+    model, variables = construct_model(jax.random.key(20200823), example_dev, config.model)
+    num_params = jax.tree_util.tree_reduce(
+        lambda x, y: x + int(np.prod(y.shape)), variables["params"], initializer=0
+    )
+    log_fn(f"params being optimized: {num_params}")
+
+    tx = make_optimizer(config)
+    state = create_train_state(config, variables, tx)
+    state = jax.device_put(state, replicate(mesh))
+
+    ckpt = CheckpointManager(train_dir, keep=config.checkpoint_keep)
+    state = ckpt.restore(state)
+    init_step = int(state.step)
+
+    train_step = jax.jit(
+        make_train_step(model, config, tx, jax.random.key(20200823)),
+        donate_argnums=(0,),
+    )
+    render_chunk = make_render_fn(model, config, mesh)
+    alpha_fn = make_alpha_schedule(config)
+
+    writer = MetricsWriter(train_dir)
+    throughput = Throughput(config.batch_size, config.model.num_samples * config.model.num_levels)
+
+    stats = {}
+    for step in range(init_step, max_steps):
+        dataset.set_step(step)
+        test_dataset.set_step(step)
+        batch = shard_batch(next(dataset), mesh, config.batch_size)
+        state, stats = train_step(state, batch)
+        throughput.tick()
+
+        if (step + 1) % config.print_every == 0:
+            host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            host_stats.update(throughput.report())
+            writer.scalars(step + 1, host_stats)
+            log_fn(
+                f"step {step + 1}/{max_steps}: loss={host_stats['train/loss']:.4f} "
+                f"psnr={host_stats['train/psnr']:.2f} "
+                f"{host_stats['perf/rays_per_sec']:.0f} rays/s"
+            )
+
+        if (step + 1) % config.save_every == 0:
+            ckpt.save(step + 1, jax.device_get(state))
+
+        if config.render_every > 0 and (step + 1) % config.render_every == 0:
+            t0 = time.time()
+            test_case = next(test_dataset)
+            test_dev = {
+                k: jax.device_put(np.asarray(v), replicate(mesh))
+                for k, v in test_case.items()
+                if k != "rays"
+            }
+            test_dev["rays"] = test_case["rays"]
+            out = evaluate_image(
+                render_chunk,
+                state.params,
+                test_dev,
+                float(alpha_fn(step)),
+                chunk=config.chunk,
+            )
+            psnr = float(mathx.mse_to_psnr(((out["rgb"] - test_case["pixels"]) ** 2).mean()))
+            ssim = float(
+                mathx.compute_ssim(
+                    jnp.asarray(out["rgb"]), jnp.asarray(test_case["pixels"]), max_val=1.0
+                )
+            )
+            n_rays = int(np.prod(test_case["pixels"].shape[:2]))
+            writer.scalars(
+                step + 1,
+                {
+                    "test/psnr": psnr,
+                    "test/ssim": ssim,
+                    "test/rays_per_sec": n_rays / (time.time() - t0),
+                },
+            )
+            writer.image(step + 1, "test/pred_rgb", out["rgb"])
+            writer.image(step + 1, "test/target_rgb", test_case["pixels"])
+            suite = vis.visualize_suite(out["depth"], out["acc"])
+            for k, v in suite.items():
+                writer.image(step + 1, f"test/{k}", v)
+            log_fn(f"eval step {step + 1}: psnr={psnr:.2f} ssim={ssim:.3f}")
+            throughput.reset()  # don't count eval time into train throughput
+
+    if max_steps % config.save_every != 0:
+        ckpt.save(max_steps, jax.device_get(state), force=True)
+    ckpt.wait()
+    writer.close()
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--train_dir", required=True)
+    p.add_argument("--gin_file", action="append", default=[])
+    p.add_argument("--gin_param", action="append", default=[])
+    p.add_argument("--chunk", type=int, default=None)
+    p.add_argument("--render_every", type=int, default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    args = p.parse_args(argv)
+
+    config = load_config(args.gin_file, args.gin_param)
+    if args.chunk is not None:
+        config.chunk = args.chunk
+    if args.render_every is not None:
+        config.render_every = args.render_every
+    run_training(config, args.data_dir, args.train_dir, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
