@@ -45,6 +45,15 @@ class CheckpointManager:
             return state_like
         return self._mgr.restore(step, args=ocp.args.StandardRestore(state_like))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore the full checkpoint as plain nested dicts/arrays (no
+        template) — for apps that only need a slice of the state, e.g. the
+        pose table (pose_eval)."""
+        step = self.latest_step if step is None else step
+        if step is None:
+            raise FileNotFoundError("no checkpoint available")
+        return self._mgr.restore(step, args=ocp.args.StandardRestore())
+
     def wait(self) -> None:
         self._mgr.wait_until_finished()
 
