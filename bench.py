@@ -30,6 +30,7 @@ def main():
     p.add_argument("--batch_size", type=int, default=4096)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default=None, help="override model compute dtype")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -40,6 +41,8 @@ def main():
 
     config = _flagship_config()
     config.batch_size = args.batch_size
+    if args.dtype:
+        config.model.compute_dtype = args.dtype
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

@@ -1,0 +1,76 @@
+"""Distributed-execution tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from durf_tpu.data.synthetic import example_ray_batch
+from durf_tpu.models import construct_model
+from durf_tpu.parallel import batch_sharding, make_mesh, replicate, shard_batch
+from durf_tpu.train import create_train_state, make_optimizer, make_train_step
+from tests.test_train import tiny_train_config
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    cfg = tiny_train_config(batch_size=64)
+    batch = example_ray_batch(batch_size=64, timesteps=3)
+    dev = shard_batch(batch, mesh, 64)
+    # Ray leaves sharded over 'data', box tables replicated.
+    assert dev["rays"].origins.sharding.spec == jax.sharding.PartitionSpec("data")
+    assert dev["init"].sharding.spec == jax.sharding.PartitionSpec()
+    assert not dev["pixels"].sharding.is_fully_replicated
+    assert dev["ext"].sharding.is_fully_replicated
+
+
+def test_train_step_matches_single_device():
+    # The same step on an 8-device mesh and a 1-device mesh must agree: the
+    # gradient all-reduce inserted by XLA is an exact sum in both layouts.
+    cfg = tiny_train_config(batch_size=64)
+    cfg.model.density_noise = 0.0
+
+    mesh8 = make_mesh(jax.devices()[:8])
+    mesh1 = make_mesh(jax.devices()[:1])
+
+    batch = example_ray_batch(batch_size=64, timesteps=3, far=30.0)
+    model, variables = construct_model(
+        jax.random.key(0), shard_batch(batch, mesh8, 64), cfg.model
+    )
+    tx = make_optimizer(cfg)
+
+    results = {}
+    for name, mesh in (("mesh8", mesh8), ("mesh1", mesh1)):
+        state = jax.device_put(create_train_state(cfg, variables, tx), replicate(mesh))
+        step_fn = jax.jit(make_train_step(model, cfg, tx, jax.random.key(1)))
+        batch_dev = shard_batch(batch, mesh, 64)
+        for _ in range(3):
+            state, stats = step_fn(state, batch_dev)
+        results[name] = (
+            jax.device_get(state.params),
+            float(stats["train/loss"]),
+        )
+
+    params8, loss8 = results["mesh8"]
+    params1, loss1 = results["mesh1"]
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-4)
+    for (p8, p1) in zip(jax.tree.leaves(params8), jax.tree.leaves(params1)):
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-5)
+
+
+def test_batch_size_must_divide_mesh():
+    mesh = make_mesh()
+    batch = example_ray_batch(batch_size=12, timesteps=3)
+    try:
+        shard_batch(batch, mesh, 12)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+
+def test_graft_dryrun_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
