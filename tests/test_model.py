@@ -216,6 +216,38 @@ def test_rays_hitting_box_get_object_contribution():
     assert z_out[0] > 0 and z_out[1] == 0.0
 
 
+def test_pallas_mlp_path_matches_xla(dyn_model):
+    # The fused-kernel background MLP (interpret mode on CPU) must agree with
+    # the XLA path on the same params, and stay differentiable end to end.
+    _, batch, _, _ = dyn_model
+    kwargs = dict(
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+    )
+    cfg_xla = tiny_model_config(compute_dtype="bfloat16")
+    cfg_pal = tiny_model_config(compute_dtype="bfloat16", use_pallas_mlp=True)
+    model_x, variables = construct_model(jax.random.key(0), batch, cfg_xla)
+    model_p = MipNerf(cfg_pal)
+    out_x = model_x.apply(variables, rng=jax.random.key(1), **kwargs)
+    out_p = model_p.apply(variables, rng=jax.random.key(1), **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(out_x[-1]["rgb"]), np.asarray(out_p[-1]["rgb"]), atol=1e-2
+    )
+
+    def loss(params):
+        out = model_p.apply({"params": params}, rng=jax.random.key(1), **kwargs)
+        return jnp.mean(out[-1]["rgb"] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gmax = np.abs(np.asarray(g["background_mlp"]["trunk_0"]["kernel"])).max()
+    assert np.isfinite(gmax) and gmax > 0
+
+
 def test_bfloat16_compute_path(dyn_model):
     cfg0, batch, _, _ = dyn_model
     cfg = tiny_model_config(compute_dtype="bfloat16")
