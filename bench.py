@@ -61,12 +61,15 @@ def main():
 
     for _ in range(args.warmup):
         state, stats = train_step(state, batch_dev)
-    jax.block_until_ready(stats["train/loss"])
+    # NOTE: block_until_ready is unreliable on the axon remote backend (it
+    # returns before execution); a scalar device_get is the only trustworthy
+    # fence. The donated-state chain serializes the steps themselves.
+    _ = jax.device_get(stats["train/loss"])
 
     t0 = time.time()
     for _ in range(args.steps):
         state, stats = train_step(state, batch_dev)
-    jax.block_until_ready(stats["train/loss"])
+    _ = jax.device_get(stats["train/loss"])
     dt = time.time() - t0
 
     samples_per_ray = config.model.num_samples * config.model.num_levels

@@ -69,7 +69,9 @@ class RayDataset:
         self.split = split
         self.config = config
         self.batching = config.batching
-        self.batch_size = config.batch_size
+        # Per-host share of the global ray batch (reference
+        # obbpose_dataset.py:65 splits the same way).
+        self.batch_size = config.batch_size // jax.process_count()
         self.c2f_steps = tuple(config.c2f_steps)
         self._rng = np.random.default_rng(20201473 if split == "train" else 0)
 

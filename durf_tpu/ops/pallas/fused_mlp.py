@@ -190,16 +190,81 @@ def _fused_fwd(x, cond, weights, config, tile, interpret):
 
 
 def _fused_bwd(config, tile, interpret, residuals, grads):
-    # Backward goes through the pure-jnp equivalent (XLA): the forward kernel
-    # saves one full HBM round-trip of activations; the backward stays exact.
-    # (A VMEM-resident recompute backward kernel is the next optimization.)
+    """Recompute-in-tile backward kernel.
+
+    Per grid step: re-run the tile's forward on VMEM values, jax.vjp it in
+    place (the transposed matmuls stay on the MXU, activations never leave
+    VMEM), write the [T, F] input/condition grads, and ACCUMULATE the fp32
+    weight grads into output blocks with constant index maps — the block
+    stays VMEM-resident across the sequential grid and flushes once.
+    """
     x, cond, weights = residuals
-    in_dim = x.shape[-1]
-    _, vjp = jax.vjp(
-        lambda x_, c_, w_: _forward_tile(config, in_dim, x_, c_, w_), x, cond, weights
-    )
-    dx, dcond, dweights = vjp(grads)
-    return dx, dcond, dweights
+    g_rgb, g_den = grads
+    n, in_dim = x.shape
+    # The backward tile holds the recomputed activations AND the vjp
+    # residuals in VMEM — use a quarter of the forward tile to stay under the
+    # ~16 MB scoped-vmem budget.
+    tile = max(tile // 4, 256)
+    n_pad = _round_up(max(n, tile), tile)
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0))
+        x, cond = jnp.pad(x, pad), jnp.pad(cond, pad)
+        g_rgb, g_den = jnp.pad(g_rgb, pad), jnp.pad(g_den, pad)
+    grid = n_pad // tile
+    n_w = len(weights)
+
+    def kernel(x_ref, cond_ref, grgb_ref, gden_ref, *refs):
+        w_refs = refs[:n_w]
+        dx_ref, dcond_ref = refs[n_w], refs[n_w + 1]
+        dw_refs = refs[n_w + 2 :]
+
+        def fwd(x_, c_, ws):
+            return _forward_tile(config, in_dim, x_, c_, ws)
+
+        _, vjp = jax.vjp(fwd, x_ref[:], cond_ref[:], [w[:] for w in w_refs])
+        dx, dcond, dws = vjp((grgb_ref[:], gden_ref[:]))
+        dx_ref[:] = dx
+        dcond_ref[:] = dcond
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in dw_refs:
+                r[:] = jnp.zeros_like(r)
+
+        for r, dw in zip(dw_refs, dws):
+            r[:] += dw.astype(jnp.float32)
+
+    # Biases are 1-D; give their grad blocks a leading unit dim? No — Mosaic
+    # handles 1-D lane-aligned blocks; keep native shapes.
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda i: (0, 0)) if w.ndim == 2 else (lambda i: (0,)))
+        for w in weights
+    ]
+    dw_specs = list(w_specs)
+
+    dx, dcond, *dweights = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
+            pl.BlockSpec((tile, g_rgb.shape[-1]), lambda i: (i, 0)),
+            pl.BlockSpec((tile, g_den.shape[-1]), lambda i: (i, 0)),
+            *w_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
+            *dw_specs,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, in_dim), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, cond.shape[-1]), jnp.float32),
+            *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
+        ],
+        interpret=interpret,
+    )(x, cond, g_rgb, g_den, *weights)
+    return dx[:n], dcond[:n], dweights
 
 
 fused_nerf_mlp.defvjp(_fused_fwd, _fused_bwd)

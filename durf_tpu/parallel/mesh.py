@@ -35,22 +35,31 @@ def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh, batch_size: int, axis: str = DATA_AXIS) -> dict:
-    """device_put a host batch: ray-batch leaves sharded, the rest replicated.
+    """Place a host batch on the mesh: ray-batch leaves sharded, rest replicated.
 
-    A leaf is 'per-ray' iff its leading dimension equals batch_size (pixels,
-    rays.*, depth, sky); box tables / extents / ts replicate. The batch size
-    must divide the mesh size (checked — the reference enforces the same,
-    train_boxpose.py:332-333).
+    A leaf is 'per-ray' iff its leading dimension equals the per-host batch
+    size (pixels, rays.*, depth, sky); box tables / extents / ts replicate.
+    The global batch size must divide the mesh size (checked — the reference
+    enforces the same, train_boxpose.py:332-333).
+
+    Multi-host: each process passes its LOCAL slice (global batch /
+    process_count rays) and the global array is assembled across hosts; the
+    reference does the same split host-side (obbpose_dataset.py:65).
     """
     n = mesh.devices.size
     if batch_size % n != 0:
         raise ValueError(f"batch_size {batch_size} must divide mesh size {n}")
+    multihost = jax.process_count() > 1
+    local_batch = batch_size // jax.process_count()
     sharded = batch_sharding(mesh, axis)
     replicated = replicate(mesh)
 
     def place(x):
         x = np.asarray(x)
-        s = sharded if (x.ndim >= 1 and x.shape[0] == batch_size) else replicated
-        return jax.device_put(x, s)
+        if x.ndim >= 1 and x.shape[0] == local_batch:
+            if multihost:
+                return jax.make_array_from_process_local_data(sharded, x)
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, replicated)
 
     return jax.tree.map(place, batch)

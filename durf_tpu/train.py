@@ -269,9 +269,15 @@ def run_training(
     render_chunk = make_render_fn(model, config, mesh)
     alpha_fn = make_alpha_schedule(config)
 
-    writer = MetricsWriter(train_dir)
+    is_host0 = jax.process_index() == 0
+    writer = MetricsWriter(train_dir, enable_tensorboard=is_host0)
     throughput = Throughput(config.batch_size, config.model.num_samples * config.model.num_levels)
 
+    # Periodic manual GC instead of ambient collections mid-step (reference
+    # train_boxpose.py:416, 441-442).
+    import gc
+
+    gc.disable()
     stats = {}
     for step in range(init_step, max_steps):
         dataset.set_step(step)
@@ -279,6 +285,9 @@ def run_training(
         batch = shard_batch(next(dataset), mesh, config.batch_size)
         state, stats = train_step(state, batch)
         throughput.tick()
+
+        if (step + 1) % config.gc_every == 0:
+            gc.collect()
 
         if (step + 1) % config.print_every == 0:
             host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
@@ -332,6 +341,7 @@ def run_training(
             log_fn(f"eval step {step + 1}: psnr={psnr:.2f} ssim={ssim:.3f}")
             throughput.reset()  # don't count eval time into train throughput
 
+    gc.enable()
     if max_steps % config.save_every != 0:
         ckpt.save(max_steps, jax.device_get(state), force=True)
     ckpt.wait()
@@ -348,7 +358,14 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--render_every", type=int, default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument(
+        "--multihost",
+        action="store_true",
+        help="initialize the jax distributed runtime (cross-host DCN training)",
+    )
     args = p.parse_args(argv)
+    if args.multihost:
+        jax.distributed.initialize()
 
     config = load_config(args.gin_file, args.gin_param)
     if args.chunk is not None:
