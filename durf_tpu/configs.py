@@ -130,6 +130,7 @@ class Config:
     # TPU-first additions (not in the reference):
     use_c2f: bool = False  # coarse-to-fine resolution pyramid (16/12/8/4)
     exact_distortion: bool = False  # O(N^2) parity form instead of O(N)
+    pose_lr_mult: float = 1.0  # LR multiplier for the box_centers pose table
     checkpoint_keep: int = 100
     data_parallel_axis: str = "data"
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -205,6 +205,9 @@ def compute_losses(
         )
 
     aux = {k: jnp.asarray(v) for k, v in per_level.items()}
+    # First ray's sampling state, for the weights-histogram visualization.
+    aux["viz_t_vals"] = jnp.stack([lv["t_vals"][0] for lv in levels])
+    aux["viz_weights"] = jnp.stack([lv["weights"][0] for lv in levels])
 
     # Aggregation weights follow reference train_boxpose.py:211-220.
     def agg(vals, final_mult, coarse_mult):

@@ -78,7 +78,25 @@ def make_alpha_schedule(config: Config):
 
 
 def make_optimizer(config: Config) -> optax.GradientTransformation:
-    return optax.adam(learning_rate=make_lr_schedule(config))
+    """Adam with the log-lerp schedule; the pose table optionally gets its own
+    LR scale (pose_lr_mult — the reference's single flax.optim.Adam cannot
+    separate pose and MLP step sizes, which makes joint pose optimization
+    twitchy at MLP-friendly learning rates)."""
+    tx = optax.adam(learning_rate=make_lr_schedule(config))
+    if config.pose_lr_mult != 1.0:
+        tx = optax.chain(
+            tx,
+            optax.masked(
+                optax.scale(config.pose_lr_mult),
+                lambda params: jax.tree.map_with_path(
+                    lambda path, _: any(
+                        getattr(k, "key", None) == "box_centers" for k in path
+                    ),
+                    params,
+                ),
+            ),
+        )
+    return tx
 
 
 def create_train_state(config: Config, variables, tx) -> TrainState:
@@ -180,6 +198,11 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
                 stats[f"loss/{k}_{i}"] = aux[k][i]
             stats[f"pose/offset_{i}"] = aux["offset"][i]
             stats[f"pose/offset_yaw_{i}"] = aux["offset_yaw"][i]
+            # First ray's sampling histogram for the nerf_weights image
+            # (reference train_boxpose.py:484-493); "viz/" keys are arrays and
+            # are popped by the train loop before scalar logging.
+            stats[f"viz/t_vals_{i}"] = aux["viz_t_vals"][i]
+            stats[f"viz/weights_{i}"] = aux["viz_weights"][i]
         return new_state, stats
 
     return train_step
@@ -290,9 +313,23 @@ def run_training(
             gc.collect()
 
         if (step + 1) % config.print_every == 0:
-            host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            host_all = jax.device_get(stats)
+            viz = {k: np.asarray(v) for k, v in host_all.items() if k.startswith("viz/")}
+            host_stats = {
+                k: float(v) for k, v in host_all.items() if not k.startswith("viz/")
+            }
             host_stats.update(throughput.report())
             writer.scalars(step + 1, host_stats)
+            if viz and is_host0:
+                n_levels = config.model.num_levels
+                writer.image(
+                    step + 1,
+                    "train/nerf_weights",
+                    vis.render_weight_bars(
+                        [viz[f"viz/t_vals_{i}"] for i in range(n_levels)],
+                        [viz[f"viz/weights_{i}"] for i in range(n_levels)],
+                    ),
+                )
             log_fn(
                 f"step {step + 1}/{max_steps}: loss={host_stats['train/loss']:.4f} "
                 f"psnr={host_stats['train/psnr']:.2f} "

@@ -90,6 +90,36 @@ def visualize_normals(depth: np.ndarray, acc: np.ndarray | None, scaling: float 
     return vis
 
 
+def render_weight_bars(
+    t_vals_per_level, weights_per_level, width: int = 480, height: int = 160
+) -> np.ndarray:
+    """Render per-level sample weights as colored bars over ray distance —
+    matplotlib-free version of the reference's nerf_weights TensorBoard image
+    (train_boxpose.py:484-493).
+
+    Args:
+      t_vals_per_level: list of [S+1] fencepost arrays (one ray per level).
+      weights_per_level: list of [S] weight arrays.
+    """
+    colors = np.array([[0.2, 0.4, 0.9], [0.2, 0.8, 0.3], [0.9, 0.3, 0.2]])
+    img = np.ones((height, width, 3), np.float32)
+    t_lo = min(float(np.min(t)) for t in t_vals_per_level)
+    t_hi = max(float(np.max(t)) for t in t_vals_per_level)
+    w_hi = max(float(np.max(w)) for w in weights_per_level) + 1e-9
+    span = max(t_hi - t_lo, 1e-9)
+    for li, (t_vals, weights) in enumerate(zip(t_vals_per_level, weights_per_level)):
+        color = colors[li % len(colors)]
+        for s in range(len(weights)):
+            x0 = int((float(t_vals[s]) - t_lo) / span * (width - 1))
+            x1 = max(int((float(t_vals[s + 1]) - t_lo) / span * (width - 1)), x0 + 1)
+            h = int(float(weights[s]) / w_hi * (height - 1))
+            if h > 0:
+                img[height - h :, x0:x1] = (
+                    img[height - h :, x0:x1] * 0.4 + color * 0.6
+                )
+    return img
+
+
 def visualize_suite(depth: np.ndarray, acc: np.ndarray) -> dict:
     """Depth / wrapped-depth / normals bundle (reference vis.py:135-142)."""
     return {
