@@ -400,9 +400,21 @@ def main(argv=None):
         action="store_true",
         help="initialize the jax distributed runtime (cross-host DCN training)",
     )
+    p.add_argument(
+        "--profile_dir",
+        default=None,
+        help="capture an xprof trace of the first ~20 post-warmup steps here",
+    )
     args = p.parse_args(argv)
     if args.multihost:
         jax.distributed.initialize()
+    if args.profile_dir:
+        from durf_tpu import metrics as _metrics
+
+        _metrics.start_profiler(args.profile_dir)
+        import atexit
+
+        atexit.register(_metrics.stop_profiler)
 
     config = load_config(args.gin_file, args.gin_param)
     if args.chunk is not None:
