@@ -17,7 +17,6 @@ internal/obbpose_dataset.py:203-2085). Processing parity:
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 

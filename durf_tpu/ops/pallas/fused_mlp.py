@@ -21,13 +21,11 @@ accumulates fp32 weight gradients in VMEM scratch across the sequential grid.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot(a, w, dtype=jnp.bfloat16):

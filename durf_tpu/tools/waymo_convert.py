@@ -36,7 +36,7 @@ import numpy as np
 try:  # import-gated heavy deps
     import tensorflow as tf
     from waymo_open_dataset import dataset_pb2
-    from waymo_open_dataset.utils import frame_utils, transform_utils
+    from waymo_open_dataset.utils import frame_utils
 
     _WAYMO_AVAILABLE = True
 except ImportError:  # pragma: no cover - deps not in this image
