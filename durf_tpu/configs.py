@@ -61,6 +61,10 @@ class ModelConfig:
     # TPU-first additions (not in the reference):
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
     use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU
+    # Diagonal-covariance pipeline: EXACT for the axis-aligned power-of-two
+    # IPE basis (the only basis used), and avoids hauling [B,S,3,3] tensors
+    # through forward+backward. False restores the reference's full-cov path.
+    diag_covariance: bool = True
     mlp: MLPConfig = field(default_factory=MLPConfig)
     box_mlp: MLPConfig = field(
         default_factory=lambda: MLPConfig(net_width=128)

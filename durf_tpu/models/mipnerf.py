@@ -129,7 +129,12 @@ class MipNerf(nn.Module):
                 out_axes=0,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
-            )(cfg.box_mlp, compute_dtype=dtype, name="object_mlps")
+            )(
+                cfg.box_mlp,
+                compute_dtype=dtype,
+                use_pallas=cfg.use_pallas_mlp,
+                name="object_mlps",
+            )
         else:
             n_obj = 0
             origins_s, dirs_s = origins, dirs
@@ -142,6 +147,10 @@ class MipNerf(nn.Module):
             viewdirs_enc = ops.pos_enc(rays.viewdirs, 0, cfg.deg_view, append_identity=True)
         else:
             viewdirs_enc = None
+
+        # Diagonal-covariance pipeline (exact for the power-of-two axis-
+        # aligned IPE basis; see ops/contraction.py and docs/DESIGN.md).
+        diag = cfg.diag_covariance
 
         ret: List[Dict[str, Any]] = []
         t_vals = None
@@ -163,6 +172,7 @@ class MipNerf(nn.Module):
                     randomized,
                     cfg.lindisp,
                     cfg.ray_shape,
+                    diag=diag,
                 )
             else:
                 t_vals, samples = ops.resample_along_rays(
@@ -176,19 +186,20 @@ class MipNerf(nn.Module):
                     cfg.ray_shape,
                     cfg.stop_level_grad,
                     cfg.resample_padding,
+                    diag=diag,
                 )
 
             if cfg.disable_integration:
                 samples = (samples[0], jnp.zeros_like(samples[1]))
 
             if dynamics:
-                mean, cov = samples  # [B, S, 3], [B, S, 3, 3]
+                mean, cov = samples  # [B,S,3], cov [B,S,3] diag or [B,S,3,3]
                 # Stack per-object masked samples on a leading object axis.
                 hit_s = hit.T[..., None, None]  # [N_obj, B, 1, 1]
                 obj_mean = hit_s * mean[None]  # [N_obj, B, S, 3]
-                obj_cov = hit_s[..., None] * cov[None]  # [N_obj, B, S, 3, 3]
+                obj_cov = (hit_s if diag else hit_s[..., None]) * cov[None]
                 obj_enc = ops.windowed_ipe(
-                    (obj_mean, obj_cov), cfg.min_deg_point, cfg.max_deg_point, alpha
+                    (obj_mean, obj_cov), cfg.min_deg_point, cfg.max_deg_point, alpha, diag=diag
                 )
                 obj_rgb, obj_density = box_mlps(obj_enc, viewdirs_enc)
                 obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
@@ -202,11 +213,17 @@ class MipNerf(nn.Module):
                 bkgd_mask = lax.stop_gradient(
                     jnp.maximum(0.0, 1.0 - hit.sum(axis=-1))[:, None, None]
                 )  # [B, 1, 1]
-                samples = (bkgd_mask * mean, bkgd_mask[..., None] * cov)
+                samples = (
+                    bkgd_mask * mean,
+                    (bkgd_mask if diag else bkgd_mask[..., None]) * cov,
+                )
 
             if cfg.contraction:
-                samples = ops.contract_gaussian(*samples, threshold=cfg.contract_threshold)
-            samples_enc = ops.integrated_pos_enc(samples, cfg.min_deg_point, cfg.max_deg_point)
+                contract_fn = ops.contract_gaussian_diag if diag else ops.contract_gaussian
+                samples = contract_fn(*samples, threshold=cfg.contract_threshold)
+            samples_enc = ops.integrated_pos_enc(
+                samples, cfg.min_deg_point, cfg.max_deg_point, diag=diag
+            )
 
             raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc)
             if dynamics:

@@ -20,7 +20,7 @@ from durf_tpu.ops.encoding import (
 )
 from durf_tpu.ops.sampling import resample_along_rays, sample_along_rays
 from durf_tpu.ops.render import volumetric_density, volumetric_rendering
-from durf_tpu.ops.contraction import contract, contract_gaussian
+from durf_tpu.ops.contraction import contract, contract_gaussian, contract_gaussian_diag
 from durf_tpu.ops.boxes import (
     axis_angle_to_matrix,
     ray_box_intersection,
@@ -44,6 +44,7 @@ __all__ = [
     "volumetric_rendering",
     "contract",
     "contract_gaussian",
+    "contract_gaussian_diag",
     "axis_angle_to_matrix",
     "ray_box_intersection",
     "rotate_vec",

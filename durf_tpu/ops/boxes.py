@@ -42,9 +42,39 @@ def axis_angle_to_matrix(rotvec: jax.Array) -> jax.Array:
     return eye + (jnp.sin(angle) / angle) * skew + ((1 - jnp.cos(angle)) / angle**2) * skew_sq
 
 
+def rotate_yaw(p: jax.Array, yaw: jax.Array) -> jax.Array:
+    """Rotate [..., 3] points by yaw about the +y (down-pointing) axis —
+    the NSG yaw-only object-frame convention (reference box_helpers.py:
+    109-128); the full-SE(3) path below supersedes it for the model."""
+    c = jnp.cos(yaw)[..., None]
+    s = jnp.sin(yaw)[..., None]
+    px = c[..., 0] * p[..., 0] + s[..., 0] * p[..., 2]
+    pz = -s[..., 0] * p[..., 0] + c[..., 0] * p[..., 2]
+    return jnp.stack([px, p[..., 1], pz], axis=-1)
+
+
+def box_to_world_frames(points: jax.Array, box_pos: jax.Array, box_rot: jax.Array) -> jax.Array:
+    """Inverse of world_to_box_frames for points: x_w = R^T x_obj + p
+    (box_rot is world->object)."""
+    return jnp.einsum(
+        "...ji,...j->...i", box_rot, points, precision=jax.lax.Precision.HIGHEST
+    ) + box_pos
+
+
 def rotate_vec(rot: jax.Array, v: jax.Array) -> jax.Array:
-    """Apply [..., 3, 3] rotation matrices to [..., 3] vectors."""
-    return jnp.einsum("...ij,...j->...i", rot, v, precision=jax.lax.Precision.HIGHEST)
+    """Apply [..., 3, 3] rotation matrices to [..., 3] vectors.
+
+    Written as explicit multiply-adds: exact fp32 on the VPU. (An einsum at
+    HIGHEST precision lowers to multi-pass MXU emulation for these tiny
+    contractions — measurable on the per-ray geometry path.)
+    """
+    return jnp.stack(
+        [
+            rot[..., i, 0] * v[..., 0] + rot[..., i, 1] * v[..., 1] + rot[..., i, 2] * v[..., 2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )
 
 
 def world_to_box_frames(

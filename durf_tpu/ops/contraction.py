@@ -47,3 +47,19 @@ def contract_gaussian(mean: jax.Array, cov: jax.Array, threshold: float = 0.1):
     mean_c, d = jax.jvp(fn, (mean,), (jnp.ones_like(mean),))
     cov_c = d[..., :, None] * cov * d[..., None, :]
     return mean_c, cov_c
+
+
+def contract_gaussian_diag(mean: jax.Array, cov_diag: jax.Array, threshold: float = 0.1):
+    """Diagonal-covariance variant: diag(D Σ Dᵀ) = d² ⊙ diag(Σ).
+
+    Exactly the diagonal of contract_gaussian's output — and since the whole
+    IPE pipeline only ever reads covariance diagonals under the axis-aligned
+    power-of-two frequency basis, using it end-to-end is EXACT, not an
+    approximation (see docs/DESIGN.md 'diagonal covariance').
+
+    Args:
+      mean: [..., 3]; cov_diag: [..., 3].
+    """
+    fn = lambda m: contract(m, threshold)
+    mean_c, d = jax.jvp(fn, (mean,), (jnp.ones_like(mean),))
+    return mean_c, d * d * cov_diag

@@ -25,6 +25,23 @@ def expected_sin(x: jax.Array, x_var: jax.Array):
     return y, y_var
 
 
+def gaussian_fourier_enc(
+    x: jax.Array, scale: float, key: jax.Array, num_features: int = 3, append_identity: bool = False
+) -> jax.Array:
+    """Random Gaussian Fourier features (Tancik et al.): sin/cos of
+    2*pi*x @ B^T with B ~ N(0, scale^2).
+
+    Reference mip.py:25-33 (gaus_enc — present in the reference's encoding
+    inventory, unused by its configs).
+    """
+    bvals = jax.random.normal(key, (num_features, x.shape[-1]), x.dtype) * scale
+    proj = (2.0 * jnp.pi * x) @ bvals.T
+    feat = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+    if append_identity:
+        return jnp.concatenate([x, feat], axis=-1)
+    return feat
+
+
 def pos_enc(x: jax.Array, min_deg: int, max_deg: int, append_identity: bool = True) -> jax.Array:
     """Classic NeRF positional encoding: sin/cos of x * 2^[min_deg, max_deg).
 

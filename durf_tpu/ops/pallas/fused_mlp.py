@@ -28,8 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _dot(a, w, dtype=jnp.bfloat16):
-    """MXU matmul with fp32 accumulation (inputs cast to `dtype`)."""
+def _dot_impl(a, w, dtype):
     return jax.lax.dot_general(
         a.astype(dtype),
         w.astype(dtype),
@@ -37,6 +36,43 @@ def _dot(a, w, dtype=jnp.bfloat16):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None,
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dot(a, w, dtype=jnp.bfloat16):
+    """MXU matmul with fp32 accumulation (inputs cast to `dtype`).
+
+    Custom VJP: the fp32-accumulated forward makes the incoming cotangent
+    fp32, and without intervention XLA runs every transposed matmul in fp32 —
+    measured as the backward costing ~4x the forward. The VJP casts the
+    cotangent to `dtype` so the backward matmuls are full-speed MXU ops while
+    still ACCUMULATING in fp32 (the mixed-precision recipe)."""
+    return _dot_impl(a, w, dtype)
+
+
+def _dot_fwd(a, w, dtype):
+    return _dot_impl(a, w, dtype), (a, w)
+
+
+def _dot_bwd(dtype, res, g):
+    a, w = res
+    g16 = g.astype(dtype)
+    da = jax.lax.dot_general(
+        g16,
+        w.astype(dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),  # g @ w^T
+        preferred_element_type=jnp.float32,
+    ).astype(a.dtype)
+    dw = jax.lax.dot_general(
+        a.astype(dtype),
+        g16,
+        dimension_numbers=(((0,), (0,)), ((), ())),  # a^T @ g
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return da, dw
+
+
+_dot.defvjp(_dot_fwd, _dot_bwd)
 
 
 def _layer_dims(config, in_dim: int) -> list:
@@ -138,7 +174,15 @@ def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = 
     return _fused_forward(x, cond, list(weights), config, tile, interpret)
 
 
+def _as_2d(weights):
+    """Biases as [1, W]: keeps every kernel operand 2-D so blocks stay legal
+    under vmap's extra leading axis (Mosaic requires the last two block dims
+    divisible by (8, 128) or equal to the array dims)."""
+    return [w if w.ndim == 2 else w[None] for w in weights]
+
+
 def _fused_forward(x, cond, weights, config, tile, interpret):
+    weights = _as_2d(weights)
     n, in_dim = x.shape
     n_pad = _round_up(max(n, tile), tile)
     if n_pad != n:
@@ -156,10 +200,7 @@ def _fused_forward(x, cond, weights, config, tile, interpret):
 
     # Weights use constant index maps: fetched into VMEM once, reused by every
     # grid step (small enough: ~1.2 MB in bf16 for the 8x256 trunk).
-    w_specs = [
-        pl.BlockSpec(w.shape, (lambda i: (0, 0)) if w.ndim == 2 else (lambda i: (0,)))
-        for w in weights
-    ]
+    w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in weights]
 
     rgb, density = pl.pallas_call(
         kernel,
@@ -197,6 +238,7 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
     stays VMEM-resident across the sequential grid and flushes once.
     """
     x, cond, weights = residuals
+    weights_2d = _as_2d(weights)
     g_rgb, g_den = grads
     n, in_dim = x.shape
     # The backward tile holds the recomputed activations AND the vjp
@@ -234,10 +276,7 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
 
     # Biases are 1-D; give their grad blocks a leading unit dim? No — Mosaic
     # handles 1-D lane-aligned blocks; keep native shapes.
-    w_specs = [
-        pl.BlockSpec(w.shape, (lambda i: (0, 0)) if w.ndim == 2 else (lambda i: (0,)))
-        for w in weights
-    ]
+    w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in weights_2d]
     dw_specs = list(w_specs)
 
     dx, dcond, *dweights = pl.pallas_call(
@@ -258,10 +297,14 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, in_dim), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, cond.shape[-1]), jnp.float32),
-            *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights],
+            *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights_2d],
         ],
         interpret=interpret,
-    )(x, cond, g_rgb, g_den, *weights)
+    )(x, cond, g_rgb, g_den, *weights_2d)
+    # Bias grads come back [1, W]; match the original [W] structure.
+    dweights = [
+        dw if w.ndim == 2 else dw[0] for dw, w in zip(dweights, weights)
+    ]
     return dx[:n], dcond[:n], dweights
 
 

@@ -248,6 +248,30 @@ def test_pallas_mlp_path_matches_xla(dyn_model):
     assert np.isfinite(gmax) and gmax > 0
 
 
+def test_diag_covariance_exactly_matches_full(dyn_model):
+    # The diagonal pipeline is exact for the power-of-two axis-aligned IPE
+    # basis: full-cov and diag models must produce the same radiance.
+    _, batch, _, _ = dyn_model
+    kwargs = dict(
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+    )
+    cfg_full = tiny_model_config(diag_covariance=False)
+    cfg_diag = tiny_model_config(diag_covariance=True)
+    model_f, variables = construct_model(jax.random.key(0), batch, cfg_full)
+    model_d = MipNerf(cfg_diag)
+    out_f = model_f.apply(variables, rng=jax.random.key(1), **kwargs)
+    out_d = model_d.apply(variables, rng=jax.random.key(1), **kwargs)
+    for lf, ld in zip(out_f, out_d):
+        np.testing.assert_allclose(np.asarray(lf["rgb"]), np.asarray(ld["rgb"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(lf["depth"]), np.asarray(ld["depth"]), atol=2e-5)
+
+
 def test_bfloat16_compute_path(dyn_model):
     cfg0, batch, _, _ = dyn_model
     cfg = tiny_model_config(compute_dtype="bfloat16")

@@ -133,6 +133,32 @@ def test_expected_sin_moments():
     np.testing.assert_allclose(float(y_var), np.sin(z).var(), atol=2e-3)
 
 
+def test_gaussian_fourier_enc_shapes_and_range():
+    from durf_tpu.ops.encoding import gaussian_fourier_enc
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(5, 3)), jnp.float32)
+    f = gaussian_fourier_enc(x, scale=4.0, key=jax.random.key(0), num_features=8)
+    assert f.shape == (5, 16)
+    assert np.all(np.abs(np.asarray(f)) <= 1.0)
+
+
+def test_rotate_yaw_and_box_to_world_roundtrip():
+    from durf_tpu.ops.boxes import box_to_world_frames, rotate_yaw
+
+    p = jnp.asarray([[1.0, 2.0, 0.0]])
+    # yaw by 90°: x -> -z component mapping per the NSG convention
+    r = np.asarray(rotate_yaw(p, jnp.asarray([np.pi / 2])))
+    np.testing.assert_allclose(r[0], [0.0, 2.0, -1.0], atol=1e-6)
+
+    rotvec = jnp.asarray([[0.3, -0.2, 0.5]])
+    rot = ops.axis_angle_to_matrix(rotvec)
+    pos = jnp.asarray([[1.0, -2.0, 3.0]])
+    pts = jnp.asarray([[0.5, 0.25, -0.75]])
+    obj = ops.rotate_vec(rot, pts - pos)
+    back = box_to_world_frames(obj, pos, rot)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pts), atol=1e-5)
+
+
 # --------------------------------------------------------------- sampling ---
 
 
