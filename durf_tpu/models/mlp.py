@@ -63,7 +63,7 @@ class NerfMLP(nn.Module):
     config: MLPConfig
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
-    pallas_tile: int = 1024
+    pallas_tile: int = 2048
 
     @nn.compact
     def __call__(self, x: jax.Array, condition: Optional[jax.Array] = None):

@@ -242,9 +242,9 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
     g_rgb, g_den = grads
     n, in_dim = x.shape
     # The backward tile holds the recomputed activations AND the vjp
-    # residuals in VMEM — use a quarter of the forward tile to stay under the
-    # ~16 MB scoped-vmem budget.
-    tile = max(tile // 4, 256)
+    # residuals in VMEM — use half the forward tile to stay under the ~16 MB
+    # scoped-vmem budget (1024 was measured at 22.7 MB; 512 fits).
+    tile = min(max(tile // 2, 256), 512)
     n_pad = _round_up(max(n, tile), tile)
     if n_pad != n:
         pad = ((0, n_pad - n), (0, 0))
