@@ -132,6 +132,7 @@ class Config:
     white_bkgd: bool = False
     rand_bkgd: bool = True
     # TPU-first additions (not in the reference):
+    test_indices: Tuple[int, ...] = ()  # override the loader's test split
     use_c2f: bool = False  # coarse-to-fine resolution pyramid (16/12/8/4)
     exact_distortion: bool = False  # O(N^2) parity form instead of O(N)
     pose_lr_mult: float = 1.0  # LR multiplier for the box_centers pose table

@@ -259,8 +259,9 @@ def load_scene(
     timesteps = np.repeat(np.arange(1, n // spec.cams_per_timestep + 1), spec.cams_per_timestep)
     total_timesteps = int(timesteps[-1])
 
-    # Splits (reference hardcodes the test indices per dataset family).
-    i_test = np.asarray(spec.test_indices)
+    # Splits: the reference hardcodes per-family test indices
+    # (obbpose_dataset.py:549, 1806); Config.test_indices overrides them.
+    i_test = np.asarray(config.test_indices or spec.test_indices)
     i_train = np.asarray([i for i in range(n) if i not in i_test])
     if split == "train":
         indices = i_train

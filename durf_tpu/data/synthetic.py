@@ -141,7 +141,7 @@ def generate_scene(
     n_cams = 5
     poses_hwf = []
     bounds = []
-    boxes_3d: dict = {}
+    boxes_3d: dict = {}  # stays empty for num_objects=0 (static scene)
     per_factor: dict = {f: dict(images=[], depth=[], sky=[], inst=[]) for f in factors}
 
     for t in range(timesteps):
@@ -234,6 +234,7 @@ def main():
     p.add_argument("--height", type=int, default=120)
     p.add_argument("--focal", type=float, default=140.0)
     p.add_argument("--factors", type=int, nargs="+", default=[4])
+    p.add_argument("--num_objects", type=int, default=2, help="0 = static scene")
     args = p.parse_args()
     generate_scene(
         args.out,
@@ -242,6 +243,7 @@ def main():
         height=args.height,
         focal=args.focal,
         factors=tuple(args.factors),
+        num_objects=args.num_objects,
     )
     print(f"wrote synthetic scene to {args.out}")
 

@@ -93,6 +93,34 @@ def test_eval_render_during_training(scene_dir, tmp_path):
     assert np.isfinite(psnr) and psnr > 5.0
 
 
+def test_static_scene_training(tmp_path):
+    # BASELINE configs[0]: static Mip-NeRF (no boxes, no pose table) on a
+    # static scene — the dynamics=False end-to-end path.
+    scene = str(tmp_path / "static_scene")
+    generate_scene(scene, timesteps=3, width=80, height=64, focal=70.0, factors=(4,), num_objects=0)
+    cfg = tiny_train_config(max_steps=12, print_every=4, save_every=100)
+    cfg.model.dynamics = False
+    logs = []
+    state = run_training(cfg, scene, str(tmp_path / "static_run"), log_fn=logs.append)
+    assert int(state.step) == 12
+    assert "box_centers" not in state.params
+    losses = [float(l.split("loss=")[1].split(" ")[0]) for l in logs if "loss=" in l]
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0]
+
+
+def test_custom_test_indices(tmp_path):
+    from durf_tpu.data import load_scene
+
+    scene = str(tmp_path / "ti_scene")
+    generate_scene(scene, timesteps=3, width=80, height=64, focal=70.0, factors=(4,))
+    cfg = tiny_train_config()
+    cfg.test_indices = (0, 5, 7)
+    test = load_scene(scene, cfg, "test")
+    assert test.n_examples == 3
+    train = load_scene(scene, cfg, "train")
+    assert train.n_examples == 12
+
+
 def test_metrics_jsonl_written(scene_dir, tmp_path):
     import json
 
