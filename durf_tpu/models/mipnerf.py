@@ -316,11 +316,12 @@ def render_image(render_fn, rays: Rays, chunk: int = 8192):
         out = render_fn(chunk_rays)
         if pad > 0:
             out = jax.tree.map(lambda x: x[: chunk - pad], out)
-        outs.append(jax.device_get(out))
+        # Keep chunk outputs on device; one transfer at the end (a per-chunk
+        # device_get serializes on the host<->device link and dominated eval
+        # time on the remote backend).
+        outs.append(out)
 
-    import numpy as np
-
-    merged = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *outs)
+    merged = jax.device_get(jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs))
     return {
         k: v.reshape((height, width) + v.shape[1:]) for k, v in merged.items()
     }
