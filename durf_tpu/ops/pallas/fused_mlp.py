@@ -56,6 +56,10 @@ def _dot_fwd(a, w, dtype):
 
 def _dot_bwd(dtype, res, g):
     a, w = res
+    # CPU's dot thunk lacks bf16xbf16->f32 for these layouts; only TPU gets
+    # the low-precision backward inputs (CPU is the test backend anyway).
+    if jax.default_backend() == "cpu":
+        dtype = jnp.float32
     g16 = g.astype(dtype)
     da = jax.lax.dot_general(
         g16,

@@ -69,6 +69,27 @@ def test_batch_size_must_divide_mesh():
     assert raised
 
 
+def test_pallas_path_matches_xla_on_sharded_mesh():
+    # The fused kernels must behave identically under the 8-device sharded
+    # jit (pallas_call partitions along the batch like any other op).
+    mesh = make_mesh()
+    batch = example_ray_batch(batch_size=64, timesteps=3, far=30.0)
+    losses = {}
+    for pallas in (False, True):
+        cfg = tiny_train_config(batch_size=64)
+        cfg.model.use_pallas_mlp = pallas
+        cfg.model.compute_dtype = "bfloat16"
+        batch_dev = shard_batch(batch, mesh, 64)
+        model, variables = construct_model(jax.random.key(0), batch_dev, cfg.model)
+        tx = make_optimizer(cfg)
+        state = jax.device_put(create_train_state(cfg, variables, tx), replicate(mesh))
+        step_fn = jax.jit(make_train_step(model, cfg, tx, jax.random.key(1)))
+        for _ in range(2):
+            state, stats = step_fn(state, batch_dev)
+        losses[pallas] = float(stats["train/loss"])
+    np.testing.assert_allclose(losses[False], losses[True], atol=2e-2)
+
+
 def test_graft_dryrun_entrypoint():
     import __graft_entry__ as g
 
