@@ -133,6 +133,12 @@ class Config:
     rand_bkgd: bool = True
     # TPU-first additions (not in the reference):
     test_indices: Tuple[int, ...] = ()  # override the loader's test split
+    # Device-resident ray pools: upload the dataset once, sample batches
+    # inside the jit (zero per-step host traffic). Applies to 'timestep'
+    # batching without the c2f pyramid; falls back to host streaming above
+    # the byte limit.
+    device_resident_data: bool = True
+    device_data_max_bytes: int = 4 << 30
     use_c2f: bool = False  # coarse-to-fine resolution pyramid (16/12/8/4)
     exact_distortion: bool = False  # O(N^2) parity form instead of O(N)
     pose_lr_mult: float = 1.0  # LR multiplier for the box_centers pose table

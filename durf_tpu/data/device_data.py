@@ -1,0 +1,112 @@
+"""Device-resident ray pools: zero host->device traffic per training step.
+
+The reference streams every ray batch from a host thread through
+prefetch_to_device (train_boxpose.py:413); over a remote/tunneled link the
+per-step upload dominates the step. Here the per-timestep ray pools (rays,
+pixels, depth, sky — ~72 B/ray) are uploaded ONCE, replicated on the mesh,
+and each step samples indices INSIDE the jit:
+
+    ts  ~ U[0, T)                       (folded from state.step)
+    idx ~ U[0, counts[ts])^B            (sharded over the 'data' axis)
+    batch = pools[:, ts][idx]           (local gather: pools are replicated)
+
+The gathered batch comes out sharded exactly like the host pipeline's, so the
+rest of the train step is unchanged. Falls back to host streaming when the
+pools don't fit (Config.device_data_max_bytes) or for non-'timestep' batching.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from durf_tpu.parallel import replicate
+from durf_tpu.rays import Rays
+
+
+def build_pools(dataset, mesh) -> Dict[str, Any]:
+    """Assemble padded per-timestep pools from a train RayDataset and place
+    them (replicated) on the mesh.
+
+    Returns a dict with:
+      rays: Rays of [T, Nmax, C]; pixels/depth/sky: [T, Nmax, C];
+      counts: [T] int32 valid rows per timestep (padding rows are duplicates
+      of row 0 — never sampled because idx < counts[ts]);
+      init [T, N_obj, 6], target [T, N_obj, 6], ext [T, N_obj, 3] box tables.
+    """
+    scene = dataset.scene
+    pool = dataset._pools[dataset.factors[-1]]
+    T = scene.total_timesteps
+    counts = np.asarray([p["pixels"].shape[0] for p in pool.pools], np.int32)
+    n_max = int(counts.max())
+
+    def pad(x):
+        if x.shape[0] == n_max:
+            return x
+        filler = np.broadcast_to(x[:1], (n_max - x.shape[0],) + x.shape[1:])
+        return np.concatenate([x, filler], axis=0)
+
+    stacked = {
+        key: np.stack([pad(p[key]) for p in pool.pools])
+        for key in ("pixels", "depth", "sky")
+    }
+    stacked["rays"] = jax.tree.map(
+        lambda *xs: np.stack([pad(x) for x in xs]), *pool.ray_pools
+    )
+    stacked["counts"] = counts
+
+    if len(scene.obj_ids) > 0:
+        stacked["init"] = scene.init_table(use_off=dataset.config.random_box)
+        stacked["target"] = np.stack(
+            [scene.boxes_for("center", t + 1) for t in range(T)]
+        )
+        stacked["ext"] = np.stack([scene.boxes_for("ext", t + 1) for t in range(T)])
+
+    return jax.device_put(stacked, replicate(mesh))
+
+
+def pool_bytes(dataset) -> int:
+    """Approximate device bytes the pools would occupy."""
+    pool = dataset._pools[dataset.factors[-1]]
+    t = len(pool.pools)
+    n_max = max(p["pixels"].shape[0] for p in pool.pools)
+    floats_per_ray = 3 + 1 + 1 + 13  # pixels + depth + sky + rays leaves
+    return t * n_max * floats_per_ray * 4
+
+
+def sample_batch(pools: Dict[str, Any], key: jax.Array, batch_size: int, batch_sharding=None):
+    """Draw one training batch on device (jit-traceable).
+
+    Args:
+      batch_sharding: NamedSharding splitting the ray axis over the mesh (from
+        durf_tpu.parallel.batch_sharding); None for single-device use.
+
+    Returns a batch dict shaped exactly like the host pipeline's 'timestep'
+    batches (rays [B, C], pixels [B, 3], ..., init [T, N_obj, 6], ts scalar).
+    """
+    t = pools["counts"].shape[0]
+    ts_key, idx_key = jax.random.split(key)
+    ts = jax.random.randint(ts_key, (), 0, t)
+    count = pools["counts"][ts]
+    idx = jax.random.randint(idx_key, (batch_size,), 0, count)
+    if batch_sharding is not None:
+        # Pools are replicated, so each device gathers its index shard with
+        # zero cross-chip traffic, and the batch comes out data-sharded.
+        idx = jax.lax.with_sharding_constraint(idx, batch_sharding)
+
+    gather = lambda x: x[ts][idx]
+    batch = {
+        "pixels": gather(pools["pixels"]),
+        "depth": gather(pools["depth"]),
+        "sky": gather(pools["sky"]),
+        "rays": jax.tree.map(gather, pools["rays"]),
+        "ts": ts,
+    }
+    if "init" in pools:
+        batch["init"] = pools["init"]
+        batch["target"] = pools["target"][ts]
+        batch["ext"] = pools["ext"][ts]
+    return batch

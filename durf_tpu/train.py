@@ -31,7 +31,7 @@ from flax import struct
 from durf_tpu import mathx, vis
 from durf_tpu.checkpoints import CheckpointManager
 from durf_tpu.configs import Config, load_config
-from durf_tpu.data import get_dataset
+from durf_tpu.data import device_data, get_dataset
 from durf_tpu.losses import compute_losses, weight_l2
 from durf_tpu.metrics import MetricsWriter, Throughput
 from durf_tpu.models import MipNerf, construct_model, render_image
@@ -285,10 +285,31 @@ def run_training(
     state = ckpt.restore(state)
     init_step = int(state.step)
 
-    train_step = jax.jit(
-        make_train_step(model, config, tx, jax.random.key(20200823)),
-        donate_argnums=(0,),
+    step_body = make_train_step(model, config, tx, jax.random.key(20200823))
+
+    # Device-resident fast path: pools uploaded once, batches sampled in-jit
+    # (see durf_tpu/data/device_data.py). Host streaming otherwise.
+    use_device_data = (
+        config.device_resident_data
+        and config.batching == "timestep"
+        and not config.use_c2f
+        and jax.process_count() == 1
+        and device_data.pool_bytes(dataset) <= config.device_data_max_bytes
     )
+    if use_device_data:
+        pools = device_data.build_pools(dataset, mesh)
+        sample_key = jax.random.key(20201473)
+        bsharding = batch_sharding(mesh)
+
+        def device_step(state, pools):
+            key = jax.random.fold_in(sample_key, state.step)
+            batch = device_data.sample_batch(pools, key, config.batch_size, bsharding)
+            return step_body(state, batch)
+
+        train_step = jax.jit(device_step, donate_argnums=(0,))
+        log_fn(f"device-resident data: {device_data.pool_bytes(dataset) >> 20} MiB of pools")
+    else:
+        train_step = jax.jit(step_body, donate_argnums=(0,))
     render_chunk = make_render_fn(model, config, mesh)
     alpha_fn = make_alpha_schedule(config)
 
@@ -305,8 +326,11 @@ def run_training(
     for step in range(init_step, max_steps):
         dataset.set_step(step)
         test_dataset.set_step(step)
-        batch = shard_batch(next(dataset), mesh, config.batch_size)
-        state, stats = train_step(state, batch)
+        if use_device_data:
+            state, stats = train_step(state, pools)
+        else:
+            batch = shard_batch(next(dataset), mesh, config.batch_size)
+            state, stats = train_step(state, batch)
         throughput.tick()
 
         if (step + 1) % config.gc_every == 0:

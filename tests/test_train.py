@@ -93,6 +93,16 @@ def test_eval_render_during_training(scene_dir, tmp_path):
     assert np.isfinite(psnr) and psnr > 5.0
 
 
+def test_host_streaming_path(scene_dir, tmp_path):
+    # device_resident_data=False exercises the reference-style host pipeline.
+    cfg = tiny_train_config(max_steps=8, print_every=4, save_every=100)
+    cfg.device_resident_data = False
+    logs = []
+    state = run_training(cfg, scene_dir, str(tmp_path / "host_run"), log_fn=logs.append)
+    assert int(state.step) == 8
+    assert not any("device-resident" in l for l in logs)
+
+
 def test_static_scene_training(tmp_path):
     # BASELINE configs[0]: static Mip-NeRF (no boxes, no pose table) on a
     # static scene — the dynamics=False end-to-end path.
