@@ -91,6 +91,36 @@ def test_output_shapes_and_levels(dyn_model):
         assert np.all(np.asarray(level["rgb"]) >= 0) and np.all(np.asarray(level["rgb"]) <= 1)
 
 
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(lindisp=True),
+        dict(ray_shape="cylinder"),
+        dict(disable_integration=True),
+        dict(contraction=False),
+        dict(use_viewdirs=True, deg_view=1),
+    ],
+)
+def test_model_config_variants(dyn_model, kw):
+    # Every reference model knob produces finite renders.
+    _, batch, _, _ = dyn_model
+    cfg = tiny_model_config(**kw)
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=True,
+        background="random",
+        alpha=4.0,
+    )
+    rgb = np.asarray(out[-1]["rgb"])
+    assert np.all(np.isfinite(rgb)) and rgb.shape == (4, 3)
+
+
 def test_pose_table_param_and_object_mlp_stacking(dyn_model):
     cfg, batch, model, variables = dyn_model
     params = variables["params"]
