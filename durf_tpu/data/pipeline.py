@@ -46,6 +46,11 @@ class _TimestepPool:
         self.ray_pools: List[Rays] = []
         for t in range(1, scene.total_timesteps + 1):
             sel = [i for i in range(scene.n_examples) if scene.timesteps[i] == t]
+            if not sel:
+                raise ValueError(
+                    f"timestep {t} has no images in this split — a custom "
+                    "test_indices selection removed an entire timestep"
+                )
             self.pools.append(
                 {
                     "pixels": np.concatenate([scene.images[i].reshape(-1, 3) for i in sel]),
