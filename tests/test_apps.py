@@ -52,6 +52,26 @@ def test_render_trajectory_produces_frames(trained, tmp_path):
     assert np.all(np.isfinite(frames[0]))
 
 
+def test_render_npz_trajectory_with_moving_boxes(trained, tmp_path):
+    # The durf_render_traj workflow: explicit camera poses + per-frame box
+    # poses moving independently of the camera.
+    cfg, scene, train_dir = trained
+    from durf_tpu.data import load_scene
+
+    sc = load_scene(scene, cfg, "render")
+    poses = sc.camtoworlds[:2]
+    box_poses = np.stack([sc.boxes_for("center", 1), sc.boxes_for("center", 2)])
+    traj = str(tmp_path / "traj.npz")
+    np.savez(traj, poses=poses, box_poses=box_poses)
+    out_dir = str(tmp_path / "npztraj")
+    frames = render_trajectory(
+        cfg, scene, train_dir, out_dir, trajectory=traj, timestep=0, log_fn=lambda *_: None
+    )
+    assert len(frames) == 2
+    assert os.path.exists(os.path.join(out_dir, "frame_0001.png"))
+    assert np.all(np.isfinite(frames[1]))
+
+
 def test_pose_eval_reports_errors(trained):
     cfg, scene, train_dir = trained
     out = evaluate_poses(cfg, scene, train_dir, log_fn=lambda *_: None)
