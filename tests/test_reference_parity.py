@@ -129,6 +129,28 @@ def test_pos_enc_parity():
     )
 
 
+def test_expected_sin_parity():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(6, 8)) * 5, jnp.float32)
+    var = jnp.asarray(rng.uniform(0, 2, size=(6, 8)), jnp.float32)
+    y_o, v_o = ops.expected_sin(x, var)
+    y_r, v_r = ref_mip.expected_sin(x, var)
+    np.testing.assert_allclose(np.asarray(y_o), np.asarray(y_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_o), np.asarray(v_r), atol=1e-6)
+
+
+def test_windowed_ipe_parity_at_full_alpha():
+    # At alpha == max_deg the BARF window is all-ones, where our layout fix
+    # (DEFECTS.md #11) is inert — the outputs must match the reference.
+    rng = np.random.default_rng(10)
+    mean = jnp.asarray(rng.normal(size=(4, 8, 3)), jnp.float32)
+    a = rng.normal(size=(4, 8, 3, 3)) * 0.1
+    cov = jnp.asarray(a @ a.transpose(0, 1, 3, 2) + 1e-4 * np.eye(3), jnp.float32)
+    ours = ops.windowed_ipe((mean, cov), 0, 10, alpha=10.0)
+    theirs = ref_mip.weighted_ipe((mean, cov), 0, 10, alpha=10.0)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs), atol=1e-5)
+
+
 def test_volumetric_rendering_parity():
     rng = np.random.default_rng(6)
     B, S = 8, 16
