@@ -58,6 +58,11 @@ class ModelConfig:
     timesteps: int = 5
     no_pose_opt: bool = False  # stop-gradient on box translations
     no_yaw_opt: bool = False  # stop-gradient on box rotations
+    # Sample box-hitting rays inside [z_in - margin, z_out + margin] instead
+    # of the global near/far (the reference computes these bounds and then
+    # discards them — docs/DEFECTS.md #3; off by default for parity).
+    use_box_nearfar: bool = False
+    box_nearfar_margin: float = 5.0
     # TPU-first additions (not in the reference):
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
     use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU

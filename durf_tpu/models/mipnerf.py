@@ -143,6 +143,16 @@ class MipNerf(nn.Module):
             box_pose = jnp.zeros((1, 3), origins.dtype)
             box_rot = jnp.zeros((1, 3), origins.dtype)
 
+        near, far = rays.near, rays.far
+        if dynamics and cfg.use_box_nearfar:
+            # Concentrate samples around the hit box (reference
+            # obbpose_model.py:126-129 computes exactly this and discards it).
+            m = cfg.box_nearfar_margin
+            near = (hit * (z_in - m)).sum(-1, keepdims=True) + miss_all[..., None] * rays.near
+            far = (hit * (z_out + m)).sum(-1, keepdims=True) + miss_all[..., None] * rays.far
+            near = lax.stop_gradient(jnp.maximum(near, rays.near))
+            far = lax.stop_gradient(jnp.minimum(jnp.maximum(far, near + 1e-3), rays.far))
+
         if cfg.use_viewdirs:
             viewdirs_enc = ops.pos_enc(rays.viewdirs, 0, cfg.deg_view, append_identity=True)
         else:
@@ -167,8 +177,8 @@ class MipNerf(nn.Module):
                     dirs_s,
                     rays.radii,
                     cfg.num_samples,
-                    rays.near,
-                    rays.far,
+                    near,
+                    far,
                     randomized,
                     cfg.lindisp,
                     cfg.ray_shape,

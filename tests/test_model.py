@@ -302,6 +302,32 @@ def test_diag_covariance_exactly_matches_full(dyn_model):
         np.testing.assert_allclose(np.asarray(lf["depth"]), np.asarray(ld["depth"]), atol=2e-5)
 
 
+def test_use_box_nearfar_concentrates_samples():
+    # With use_box_nearfar, a box-hitting ray's samples stay inside
+    # [z_in - margin, z_out + margin] clamped to the ray's near/far.
+    cfg = tiny_model_config(contraction=False, use_box_nearfar=True, box_nearfar_margin=0.5)
+    origins = jnp.asarray([[0.0, 0.0, 0.0]])
+    dirs = jnp.asarray([[0.0, 0.0, -1.0]])
+    ones = jnp.ones((1, 1))
+    rays = Rays(
+        origins=origins, directions=dirs, viewdirs=dirs, radii=ones * 0.01,
+        lossmult=ones, near=ones * 0.1, far=ones * 20.0,
+    )
+    init = np.zeros((3, 2, 6), np.float32)
+    init[:, 0, :3] = [0.0, 0.0, -5.0]
+    init[:, 1, :3] = [100.0, 100.0, 100.0]
+    batch = {"rays": rays, "init": jnp.asarray(init), "ext": jnp.ones((2, 3)), "ts": jnp.asarray(0)}
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = model.apply(
+        variables, rng=jax.random.key(1), rays=rays, init_boxes=batch["init"],
+        ext=batch["ext"], ts=batch["ts"], randomized=False, background="gray", alpha=4.0,
+    )
+    t = np.asarray(out[0]["t_vals"][0])
+    # box spans z in [-6, -4] -> ray hits at t in [4, 6]; margin 0.5.
+    assert t.min() >= 4.0 - 0.5 - 1e-4
+    assert t.max() <= 6.0 + 0.5 + 1e-4
+
+
 def test_bfloat16_compute_path(dyn_model):
     cfg0, batch, _, _ = dyn_model
     cfg = tiny_model_config(compute_dtype="bfloat16")
