@@ -169,3 +169,15 @@ class TestRayDataset:
         ds = RayDataset("train", scene_dir, cfg)
         batch = next(ds)
         assert batch["pixels"].shape == (32, 3)
+
+
+def test_carla_seq_single_camera_grouping(scene_dir):
+    # carla_seq treats every image as its own timestep (1-camera rig).
+    cfg = carla_config()
+    cfg.dataset_loader = "carla_seq"
+    from durf_tpu.data import load_scene
+
+    scene = load_scene(scene_dir, cfg, "train")
+    assert scene.spec.cams_per_timestep == 1
+    assert scene.total_timesteps == 15  # 15 images -> 15 timesteps
+    np.testing.assert_array_equal(np.unique(scene.timesteps), np.unique(scene.timesteps))
