@@ -66,6 +66,11 @@ class ModelConfig:
     # TPU-first additions (not in the reference):
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
     use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU
+    # Plain (unguarded) trig in the encodings: exact while |2^k x| stays far
+    # below the TPU blow-up range (~1e8) — guaranteed post-contraction; skips
+    # the mod/where range reduction on the hot VPU path. False = reference's
+    # safe_sin everywhere.
+    fast_trig: bool = False
     # Diagonal-covariance pipeline: EXACT for the axis-aligned power-of-two
     # IPE basis (the only basis used), and avoids hauling [B,S,3,3] tensors
     # through forward+backward. False restores the reference's full-cov path.

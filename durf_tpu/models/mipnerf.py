@@ -209,7 +209,12 @@ class MipNerf(nn.Module):
                 obj_mean = hit_s * mean[None]  # [N_obj, B, S, 3]
                 obj_cov = (hit_s if diag else hit_s[..., None]) * cov[None]
                 obj_enc = ops.windowed_ipe(
-                    (obj_mean, obj_cov), cfg.min_deg_point, cfg.max_deg_point, alpha, diag=diag
+                    (obj_mean, obj_cov),
+                    cfg.min_deg_point,
+                    cfg.max_deg_point,
+                    alpha,
+                    diag=diag,
+                    safe=not cfg.fast_trig,
                 )
                 obj_rgb, obj_density = box_mlps(obj_enc, viewdirs_enc)
                 obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
@@ -232,7 +237,7 @@ class MipNerf(nn.Module):
                 contract_fn = ops.contract_gaussian_diag if diag else ops.contract_gaussian
                 samples = contract_fn(*samples, threshold=cfg.contract_threshold)
             samples_enc = ops.integrated_pos_enc(
-                samples, cfg.min_deg_point, cfg.max_deg_point, diag=diag
+                samples, cfg.min_deg_point, cfg.max_deg_point, diag=diag, safe=not cfg.fast_trig
             )
 
             raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc)

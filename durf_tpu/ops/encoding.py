@@ -18,10 +18,17 @@ import jax.numpy as jnp
 from durf_tpu import mathx
 
 
-def expected_sin(x: jax.Array, x_var: jax.Array):
-    """Mean and variance of sin(z) for z ~ N(x, x_var) (reference mip.py:67-73)."""
-    y = jnp.exp(-0.5 * x_var) * mathx.safe_sin(x)
-    y_var = jnp.maximum(0, 0.5 * (1 - jnp.exp(-2 * x_var) * mathx.safe_cos(2 * x)) - y**2)
+def expected_sin(x: jax.Array, x_var: jax.Array, safe: bool = True):
+    """Mean and variance of sin(z) for z ~ N(x, x_var) (reference mip.py:67-73).
+
+    safe=False uses plain sin/cos — exact whenever |x| stays far below the
+    TPU transcendental blow-up range (~1e8), e.g. after scene contraction
+    (|x| <= 2 * 2^max_deg), and skips the mod/where range reduction.
+    """
+    sin = mathx.safe_sin if safe else jnp.sin
+    cos = mathx.safe_cos if safe else jnp.cos
+    y = jnp.exp(-0.5 * x_var) * sin(x)
+    y_var = jnp.maximum(0, 0.5 * (1 - jnp.exp(-2 * x_var) * cos(2 * x)) - y**2)
     return y, y_var
 
 
@@ -81,7 +88,7 @@ def windowed_pos_enc(
     return feat
 
 
-def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool):
+def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool, safe: bool = True):
     """Shared IPE core: lifted means/variances -> expected sin features."""
     if diag:
         x, x_cov_diag = x_coord
@@ -104,10 +111,13 @@ def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool):
     return expected_sin(
         jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
         jnp.concatenate([y_var] * 2, axis=-1),
+        safe=safe,
     )[0]
 
 
-def integrated_pos_enc(x_coord, min_deg: int, max_deg: int, diag: bool = False) -> jax.Array:
+def integrated_pos_enc(
+    x_coord, min_deg: int, max_deg: int, diag: bool = False, safe: bool = True
+) -> jax.Array:
     """Integrated positional encoding of a Gaussian (mean, cov).
 
     Args:
@@ -117,15 +127,17 @@ def integrated_pos_enc(x_coord, min_deg: int, max_deg: int, diag: bool = False) 
 
     Reference mip.py:226-282 (matmuls at HIGHEST precision, mip.py:275-278).
     """
-    return _ipe_features(x_coord, min_deg, max_deg, diag)
+    return _ipe_features(x_coord, min_deg, max_deg, diag, safe)
 
 
-def windowed_ipe(x_coord, min_deg: int, max_deg: int, alpha, diag: bool = False) -> jax.Array:
+def windowed_ipe(
+    x_coord, min_deg: int, max_deg: int, alpha, diag: bool = False, safe: bool = True
+) -> jax.Array:
     """BARF-windowed IPE with the identity (mean) prepended.
 
     Used for the per-object MLP inputs so noisy box poses can be optimized
     coarse-to-fine (reference mip.py:182-223; identity prepend at 222).
     """
-    feat = _ipe_features(x_coord, min_deg, max_deg, diag)
+    feat = _ipe_features(x_coord, min_deg, max_deg, diag, safe)
     w = _barf_window(alpha, min_deg, max_deg, x_coord[0].shape[-1], feat.dtype)
     return jnp.concatenate([x_coord[0], w * feat], axis=-1)

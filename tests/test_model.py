@@ -302,6 +302,21 @@ def test_diag_covariance_exactly_matches_full(dyn_model):
         np.testing.assert_allclose(np.asarray(lf["depth"]), np.asarray(ld["depth"]), atol=2e-5)
 
 
+def test_fast_trig_matches_safe_trig(dyn_model):
+    # Post-contraction encode inputs are bounded, so the unguarded trig path
+    # must agree exactly with the safe one.
+    _, batch, _, _ = dyn_model
+    kwargs = dict(
+        rays=batch["rays"], init_boxes=batch["init"], ext=batch["ext"], ts=batch["ts"],
+        randomized=False, background="gray", alpha=4.0,
+    )
+    model_s, variables = construct_model(jax.random.key(0), batch, tiny_model_config())
+    model_f = MipNerf(tiny_model_config(fast_trig=True))
+    a = model_s.apply(variables, rng=jax.random.key(1), **kwargs)
+    b = model_f.apply(variables, rng=jax.random.key(1), **kwargs)
+    np.testing.assert_allclose(np.asarray(a[-1]["rgb"]), np.asarray(b[-1]["rgb"]), atol=1e-6)
+
+
 def test_use_box_nearfar_concentrates_samples():
     # With use_box_nearfar, a box-hitting ray's samples stay inside
     # [z_in - margin, z_out + margin] clamped to the ray's near/far.
