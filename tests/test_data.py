@@ -181,3 +181,35 @@ def test_carla_seq_single_camera_grouping(scene_dir):
     assert scene.spec.cams_per_timestep == 1
     assert scene.total_timesteps == 15  # 15 images -> 15 timesteps
     np.testing.assert_array_equal(np.unique(scene.timesteps), np.unique(scene.timesteps))
+
+
+def test_waymo_19col_principal_point_path(tmp_path):
+    # The Waymo layout: 19-column poses_bounds with per-camera principal
+    # points, full (not half) box extents, test split (10, 12).
+    import os
+    from durf_tpu.data.format import load_poses_bounds, save_scene
+    from durf_tpu.data.synthetic import generate_scene
+
+    src = str(tmp_path / "wy")
+    generate_scene(src, timesteps=3, width=80, height=64, focal=70.0, factors=(4,))
+    # Rewrite poses_bounds with principal points appended.
+    arr = np.load(os.path.join(src, "poses_bounds.npy"))
+    pps = np.tile(np.array([[41.0, 33.0]], np.float32), (len(arr), 1))
+    np.save(os.path.join(src, "poses_bounds.npy"), np.concatenate([arr, pps], -1))
+
+    poses, bounds, pp = load_poses_bounds(src)
+    assert pp.shape == (15, 2)
+
+    cfg = carla_config()
+    cfg.dataset_loader = "waymo"
+    scene = load_scene(src, cfg, "train")
+    assert scene.n_examples == 13  # test split (10, 12)
+    # Principal points are scaled by the factor.
+    # (ray through pp/factor is the optical axis in camera space)
+    ext_carla = load_scene(src, carla_config(), "train").boxes_for("ext", 1)
+    ext_waymo = scene.boxes_for("ext", 1)
+    np.testing.assert_allclose(ext_waymo * 2.0, ext_carla, atol=1e-6)  # halved again
+    test = load_scene(src, cfg, "test")
+    assert test.n_examples == 2
+    rend = load_scene(src, cfg, "render")
+    assert rend.n_examples == 15  # waymo render split = train + test
