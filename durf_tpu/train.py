@@ -185,6 +185,11 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
         stats = {
             "train/loss": loss,
             "train/psnr": psnrs[-1],
+            # Object-region PSNR (reference Stats.obj_psnr; NaN-scrubbed when
+            # no rays hit a box, as the reference's logger does).
+            "train/obj_psnr": jnp.nan_to_num(
+                mathx.mse_to_psnr(aux["obj_rgb"][-1]), nan=0.0, posinf=0.0
+            ),
             "train/grad_norm": grad_norm,
             "train/grad_abs_max": grad_abs_max,
             "train/grad_norm_clipped": grad_norm_clipped,
