@@ -128,6 +128,10 @@ def evaluate(
             Image.fromarray((np.clip(depth_vis, 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(out_dir, f"depth_{i:03d}.png")
             )
+            # Raw metric depth as float32 TIFF (reference utils.py:220-223).
+            Image.fromarray(np.nan_to_num(out["depth"]).astype(np.float32)).save(
+                os.path.join(out_dir, f"depth_{i:03d}.tiff"), "TIFF"
+            )
 
     dt = time.time() - t_start
     summary = {
