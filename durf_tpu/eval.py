@@ -145,6 +145,14 @@ def evaluate(
     }
     if lpips is not None:
         summary["lpips"] = float(np.mean([r["lpips"] for r in per_image]))
+        # The paper's geometric-mean 'average' error (reference math.py:59-63).
+        summary["avg_error"] = float(
+            mathx.compute_avg_error(
+                jnp.asarray(summary["psnr"]),
+                jnp.asarray(summary["ssim"]),
+                jnp.asarray(summary["lpips"]),
+            )
+        )
     if out_dir:
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(summary, f, indent=2)
