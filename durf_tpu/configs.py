@@ -64,6 +64,15 @@ class ModelConfig:
     use_box_nearfar: bool = False
     box_nearfar_margin: float = 5.0
     # TPU-first additions (not in the reference):
+    # Occupancy-grid level-0 sampling (VaxNeRF-style empty-space skipping):
+    # a contracted-domain density grid threads through TrainState, is updated
+    # each step from rendering weights, and replaces uniform stratified
+    # sampling with a grid-informed per-ray PDF.
+    grid_sampling: bool = False
+    grid_resolution: int = 96
+    grid_probes: int = 128  # cheap occupancy taps per ray (no MLP)
+    grid_floor: float = 1e-2  # minimum PDF mass so unexplored space is seen
+    grid_decay: float = 0.995  # per-step EMA decay of the grid
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
     use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU
     # Plain (unguarded) trig in the encodings: exact while |2^k x| stays far

@@ -19,12 +19,15 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
-from durf_tpu import ops
+from durf_tpu import mathx, ops
+from durf_tpu.ops import grid as gridops
 from durf_tpu.configs import ModelConfig
 from durf_tpu.models.mlp import NerfMLP, get_activation
 from durf_tpu.rays import Rays
@@ -50,6 +53,7 @@ class MipNerf(nn.Module):
         randomized: bool,
         background: str,
         alpha,
+        grid: Optional[jax.Array] = None,
     ) -> List[Dict[str, Any]]:
         """Render a batch of rays.
 
@@ -63,6 +67,9 @@ class MipNerf(nn.Module):
           randomized: stratified jitter + density noise (train mode).
           background: 'white' | 'gray' | 'black' | 'random'.
           alpha: BARF frequency-annealing scalar.
+          grid: optional [R, R, R] contracted-domain occupancy grid; with
+            config.grid_sampling it drives the level-0 sampling PDF (and the
+            returned 'positions_c'/'weights' feed its update in the trainer).
 
         Returns:
           A list with one dict per level: rgb [B,3], depth [B], acc [B],
@@ -171,19 +178,45 @@ class MipNerf(nn.Module):
             else:
                 key = None
             if i_level == 0:
-                t_vals, samples = ops.sample_along_rays(
-                    key,
-                    origins_s,
-                    dirs_s,
-                    rays.radii,
-                    cfg.num_samples,
-                    near,
-                    far,
-                    randomized,
-                    cfg.lindisp,
-                    cfg.ray_shape,
-                    diag=diag,
-                )
+                if cfg.grid_sampling and grid is not None:
+                    # Grid-informed level-0 PDF: cheap occupancy taps replace
+                    # blind stratified sampling (no MLP evals spent on free
+                    # space the grid has already ruled out).
+                    contract_fn = functools.partial(
+                        ops.contract, threshold=cfg.contract_threshold
+                    )
+                    bins, occ = gridops.ray_pdf(
+                        grid,
+                        origins_s,
+                        dirs_s,
+                        near,
+                        far,
+                        cfg.grid_probes,
+                        contract_fn,
+                        cfg.grid_floor,
+                    )
+                    t_vals = lax.stop_gradient(
+                        mathx.sorted_piecewise_constant_pdf(
+                            key, bins, occ, cfg.num_samples + 1, randomized
+                        )
+                    )
+                    samples = ops.cast_rays(
+                        t_vals, origins_s, dirs_s, rays.radii, cfg.ray_shape, diag
+                    )
+                else:
+                    t_vals, samples = ops.sample_along_rays(
+                        key,
+                        origins_s,
+                        dirs_s,
+                        rays.radii,
+                        cfg.num_samples,
+                        near,
+                        far,
+                        randomized,
+                        cfg.lindisp,
+                        cfg.ray_shape,
+                        diag=diag,
+                    )
             else:
                 t_vals, samples = ops.resample_along_rays(
                     key,
@@ -199,6 +232,7 @@ class MipNerf(nn.Module):
                     diag=diag,
                 )
 
+            raw_mean = samples[0]  # composite-ray positions, pre-masking
             if cfg.disable_integration:
                 samples = (samples[0], jnp.zeros_like(samples[1]))
 
@@ -251,13 +285,22 @@ class MipNerf(nn.Module):
                     key, raw_density.shape, dtype=raw_density.dtype
                 )
 
+            # Contracted (unmasked) sample positions for the grid update.
+            positions_c = (
+                ops.contract(raw_mean, threshold=cfg.contract_threshold)
+                if cfg.grid_sampling
+                else None
+            )
+
             rgb = get_activation(cfg.rgb_activation)(raw_rgb)
             density = get_activation(cfg.density_activation)(raw_density + cfg.density_bias)
             comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists = ops.volumetric_rendering(
                 rgb, density, t_vals, dirs_s, background=background, key=key
             )
+            level_out = dict() if positions_c is None else dict(positions_c=positions_c)
             ret.append(
                 dict(
+                    **level_out,
                     rgb=comp_rgb,
                     depth=depth,
                     acc=acc,

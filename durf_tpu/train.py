@@ -43,6 +43,8 @@ class TrainState:
     step: jax.Array
     params: Any
     opt_state: Any
+    # Contracted-domain occupancy grid (None unless config.grid_sampling).
+    grid: Any = None
 
 
 def make_lr_schedule(config: Config):
@@ -100,10 +102,18 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
 
 
 def create_train_state(config: Config, variables, tx) -> TrainState:
+    from durf_tpu.ops import grid as gridops
+
+    grid = (
+        gridops.make_grid(config.model.grid_resolution)
+        if config.model.grid_sampling
+        else None
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         opt_state=tx.init(variables["params"]),
+        grid=grid,
     )
 
 
@@ -141,6 +151,7 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
                 randomized=config.randomized,
                 background=config.background,
                 alpha=alpha,
+                grid=state.grid,
             )
             if dynamic and init_boxes is not None:
                 # Previous-timestep pose for the TV loss, straight from the
@@ -155,6 +166,9 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
             total, aux = compute_losses(config, out, batch, prev_pose, eps)
             if config.weight_decay_mult > 0:
                 total = total + config.weight_decay_mult * weight_l2(params)
+            if config.model.grid_sampling:
+                aux["grid_positions"] = out[-1]["positions_c"]
+                aux["grid_weights"] = out[-1]["weights"]
             return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -179,7 +193,19 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=step + 1, params=new_params, opt_state=new_opt_state)
+        new_grid = state.grid
+        if config.model.grid_sampling:
+            from durf_tpu.ops import grid as gridops
+
+            new_grid = gridops.update(
+                state.grid,
+                aux.pop("grid_positions"),
+                aux.pop("grid_weights"),
+                decay=config.model.grid_decay,
+            )
+        new_state = TrainState(
+            step=step + 1, params=new_params, opt_state=new_opt_state, grid=new_grid
+        )
 
         psnrs = mathx.mse_to_psnr(aux["rgb"])
         stats = {
