@@ -91,6 +91,7 @@ class RayDataset:
         self._pools = {f: _TimestepPool(s) for f, s in self.scenes.items()} if split == "train" else {}
         self._step = 0  # drives the c2f factor selection
         self._test_it = 0
+        self._peeked: dict | None = None  # consumer-side slot filled by peek()
 
         self._queue: queue.Queue = queue.Queue(prefetch)
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -102,17 +103,29 @@ class RayDataset:
         return self
 
     def __next__(self) -> dict:
-        return self._queue.get()
+        if self._peeked is not None:
+            batch, self._peeked = self._peeked, None
+            return batch
+        while True:
+            batch = self._queue.get()
+            # Train split: discard batches the producer built before a c2f
+            # factor boundary (the prefetch queue can hold up to `prefetch`
+            # stale ones; train batches are i.i.d. so dropping them is free).
+            # Test split keeps its sequential image cycle intact — a stale
+            # factor there only means the render lags the boundary by a few
+            # images, same as the reference's 3-deep prefetch.
+            if self.split != "train" or batch.pop("_factor") == self._current_factor():
+                batch.pop("_factor", None)
+                return batch
 
     def peek(self) -> dict:
-        """Copy of the next batch without consuming it."""
-        while True:
-            try:
-                return dict(self._queue.queue[0])
-            except IndexError:
-                import time
+        """Copy of the next batch without consuming it.
 
-                time.sleep(0.01)
+        Blocks on the queue like __next__ (no busy-wait on Queue internals)
+        and parks the batch so the next __next__ returns it.
+        """
+        self._peeked = next(self)
+        return dict(self._peeked)
 
     def set_step(self, step: int) -> None:
         """Advance the c2f schedule (reference drives test_dataset.train_it
@@ -163,6 +176,7 @@ class RayDataset:
             batch = {k: v[idx] for k, v in pool.pools[ts0].items()}
             batch["rays"] = _index_rays(pool.ray_pools[ts0], idx)
             batch["ts"] = np.int32(ts0)
+            batch["_factor"] = factor
             batch.update(self._box_batch(scene, ts0))
             return batch
 
@@ -179,6 +193,7 @@ class RayDataset:
                 "sky": sky[idx],
                 "rays": _index_rays(rays, idx),
                 "ts": np.int32(0),
+                "_factor": factor,
             }
             batch.update(self._box_batch(scene, 0))
             return batch
@@ -199,6 +214,7 @@ class RayDataset:
                 "sky": scene.sky[i].reshape(-1, 1)[idx],
                 "rays": _index_rays(flat, idx),
                 "ts": np.int32(ts0),
+                "_factor": factor,
             }
             batch.update(self._box_batch(scene, ts0))
             return batch
@@ -217,6 +233,7 @@ class RayDataset:
             "sky": scene.sky[i][..., None],
             "rays": scene.rays[i],
             "ts": np.int32(ts0),
+            "_factor": factor,
         }
         batch.update(self._box_batch(scene, ts0))
         return batch

@@ -194,6 +194,14 @@ def load_scene(
       split: 'train' | 'test' | 'render'.
       factor: overrides config.factor (used by the c2f resolution pyramid).
     """
+    if config.dataset_loader not in DATASET_SPECS:
+        raise ValueError(
+            f"Config.dataset_loader = {config.dataset_loader!r} is not a known "
+            f"dataset spec; set it (e.g. in your .gin file) to one of "
+            f"{sorted(DATASET_SPECS)}. The default 'multicam' mirrors the "
+            "reference's equally-unregistered default (utils.py:91) and must "
+            "be overridden."
+        )
     spec = DATASET_SPECS[config.dataset_loader]
     factor = config.factor if factor is None else factor
 

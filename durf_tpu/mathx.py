@@ -108,6 +108,12 @@ def compute_ssim(
     Uses two 1-D Gaussian blurs (separable) vmapped over batch/channel axes,
     exactly the strategy of reference math.py:66-137, whose unit test holds it
     to tf.image.ssim goldens.
+
+    Provenance: the reference vendored this function from Google's Apache-2.0
+    mip-NeRF release (`internal/math.py`); the algorithm (Gaussian-windowed
+    mean/variance/covariance + the standard SSIM formula) is the tf.image.ssim
+    specification, so any implementation pinned to those goldens shares its
+    structure. Recorded per the project's provenance rule (docs/PARITY.md).
     """
     hw = filter_size // 2
     shift = (2 * hw - filter_size + 1) / 2
@@ -220,10 +226,18 @@ def sorted_piecewise_constant_pdf(
     Returns:
       [..., num_samples] sorted sample positions.
 
-    Matches reference math.py:222-284: eps-padding so all-zero weights are
-    valid, CDF pinned to exactly 0/1 at the ends, and interval lookup done with
-    the sorted masked-max/min reduction (TPU-friendly: dense vector ops rather
-    than a binary search).
+    Behavior matches reference math.py:222-284 (itself vendored from Google's
+    Apache-2.0 mip-NeRF `internal/math.py`) to float tolerance: eps-padding so
+    all-zero weights are valid, CDF pinned to exactly 0/1 at the ends, and u
+    drawn in [0, 1). The interval lookup here is an independent formulation:
+    instead of the reference's masked max/min reductions over a [bins, samples]
+    comparison matrix, we count how many CDF fenceposts sit at or below each u
+    (a rank reduction over the same matrix — one pass instead of four) and
+    gather the bracketing bin/CDF pairs with take_along_axis. For sorted cdf
+    with cdf[0] = 0 <= u < 1 = cdf[-1], `rank = #{i : cdf_i <= u}` satisfies
+    1 <= rank <= num_bins, and [cdf[rank-1], cdf[rank]) brackets u even when
+    zero-weight bins duplicate CDF values (the count lands past the LAST
+    duplicate, exactly like the reference's masked max).
     """
     eps = 1e-5
     weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
@@ -251,18 +265,21 @@ def sorted_piecewise_constant_pdf(
         u = jnp.linspace(0.0, 1.0 - jnp.finfo("float32").eps, num_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
 
-    # For each sample u, find the bracketing CDF interval. mask[..., i, j] says
-    # "sample j sits at or above fencepost i"; since cdf/bins are sorted, a
-    # masked max gives the left edge and a masked min the right edge.
-    mask = u[..., None, :] >= cdf[..., :, None]
+    # Rank of each sample among the CDF fenceposts: rank[..., j] = #{i :
+    # cdf_i <= u_j}, in [1, num_bins] (cdf[0] = 0 <= u < 1 = cdf[-1]).
+    rank = jnp.sum(
+        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
+    )
+    lo = rank - 1
 
-    def find_interval(x):
-        x0 = jnp.max(jnp.where(mask, x[..., None], x[..., :1, None]), axis=-2)
-        x1 = jnp.min(jnp.where(~mask, x[..., None], x[..., -1:, None]), axis=-2)
-        return x0, x1
+    def bracket(x):
+        return (
+            jnp.take_along_axis(x, lo, axis=-1),
+            jnp.take_along_axis(x, rank, axis=-1),
+        )
 
-    bins_g0, bins_g1 = find_interval(bins)
-    cdf_g0, cdf_g1 = find_interval(cdf)
+    bins_g0, bins_g1 = bracket(bins)
+    cdf_g0, cdf_g1 = bracket(cdf)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0), 0), 0, 1)
     return bins_g0 + t * (bins_g1 - bins_g0)

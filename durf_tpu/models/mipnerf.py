@@ -181,20 +181,30 @@ class MipNerf(nn.Module):
                 if cfg.grid_sampling and grid is not None:
                     # Grid-informed level-0 PDF: cheap occupancy taps replace
                     # blind stratified sampling (no MLP evals spent on free
-                    # space the grid has already ruled out).
+                    # space the grid has already ruled out). The grid lives in
+                    # contracted WORLD space, so probe with the world rays —
+                    # NOT origins_s/dirs_s, which are object-frame for
+                    # box-hitting rays.
                     contract_fn = functools.partial(
                         ops.contract, threshold=cfg.contract_threshold
                     )
                     bins, occ = gridops.ray_pdf(
                         grid,
-                        origins_s,
-                        dirs_s,
+                        origins,
+                        dirs,
                         near,
                         far,
                         cfg.grid_probes,
                         contract_fn,
                         cfg.grid_floor,
                     )
+                    if dynamics:
+                        # Box-hitting rays sample in the object-frame t
+                        # parameterization (origins_s/dirs_s are rescaled by
+                        # the box transform), which the world-frame grid says
+                        # nothing about — fall back to a uniform PDF there
+                        # (equivalent to stratified sampling in [near, far]).
+                        occ = jnp.where(dyn_mask > 0, jnp.ones_like(occ), occ)
                     t_vals = lax.stop_gradient(
                         mathx.sorted_piecewise_constant_pdf(
                             key, bins, occ, cfg.num_samples + 1, randomized
@@ -297,7 +307,18 @@ class MipNerf(nn.Module):
             comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists = ops.volumetric_rendering(
                 rgb, density, t_vals, dirs_s, background=background, key=key
             )
-            level_out = dict() if positions_c is None else dict(positions_c=positions_c)
+            if positions_c is None:
+                level_out = dict()
+            else:
+                # Box-hitting rays' raw_mean is object-frame (composite rays,
+                # :122-123): zero their evidence so only world-frame samples
+                # touch the world-frame grid. Zero-weight scatter-max entries
+                # are no-ops on the non-negative grid.
+                grid_weights = weights * miss_all[:, None] if dynamics else weights
+                level_out = dict(
+                    positions_c=positions_c,
+                    grid_weights=lax.stop_gradient(grid_weights),
+                )
             ret.append(
                 dict(
                     **level_out,

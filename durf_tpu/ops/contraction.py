@@ -20,6 +20,16 @@ def contract(x: jax.Array, threshold: float = 0.1) -> jax.Array:
 
     Identity for ||x|| <= threshold, (2 - 1/||x||) * x/||x|| beyond it
     (reference mip360.py:47-60 uses threshold 0.1).
+
+    NOTE (docs/DEFECTS.md #14): for any threshold < 1 the band
+    threshold < ||x|| < 1 is pathological — the radial factor (2 - 1/||x||)
+    is < 1 there and NEGATIVE below ||x|| = 0.5, so near-origin points are
+    reflected through the origin (with norm up to 1/threshold - 2). This is
+    inherited reference behavior (its 0.1 threshold shares it) and is kept
+    for parity; the fix is the paper's threshold of 1.0
+    (`ModelConfig.contract_threshold = 1.0`), for which the map is the
+    identity inside the unit ball and a direction-preserving contraction
+    into the radius-2 ball outside.
     """
     x_norm = mathx.safe_norm(x)
     inside = (x_norm <= threshold).astype(x.dtype)

@@ -84,7 +84,11 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     LR scale (pose_lr_mult — the reference's single flax.optim.Adam cannot
     separate pose and MLP step sizes, which makes joint pose optimization
     twitchy at MLP-friendly learning rates)."""
-    tx = optax.adam(learning_rate=make_lr_schedule(config))
+    lr_fn = make_lr_schedule(config)
+    # optax evaluates the schedule at count=0 for the first update; the
+    # reference's 1-indexed loop uses lr(1) there (train_boxpose.py:420,425),
+    # and lr(max_steps) — not lr(max_steps - 1) — on the final update.
+    tx = optax.adam(learning_rate=lambda count: lr_fn(count + 1))
     if config.pose_lr_mult != 1.0:
         tx = optax.chain(
             tx,
@@ -133,8 +137,12 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
     def train_step(state: TrainState, batch: Dict[str, Any]):
         step = state.step
         key = jax.random.fold_in(base_key, step)
-        eps = eps_fn(step)
-        alpha = alpha_fn(step)
+        # Schedules are keyed on the 1-indexed step number to match the
+        # reference loop `range(init_step=1, max_steps + 1)`
+        # (train_boxpose.py:420,425-427): update k uses schedule(k), so a
+        # 200k-step run ends on schedule(200k), not schedule(200k - 1).
+        eps = eps_fn(step + 1)
+        alpha = alpha_fn(step + 1)
 
         init_boxes = batch.get("init")
         ext = batch.get("ext")
@@ -168,7 +176,10 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
                 total = total + config.weight_decay_mult * weight_l2(params)
             if config.model.grid_sampling:
                 aux["grid_positions"] = out[-1]["positions_c"]
-                aux["grid_weights"] = out[-1]["weights"]
+                # Pre-masked by the model: box-hitting rays contribute zero
+                # (their positions are object-frame, not the grid's world
+                # frame — see models/mipnerf.py).
+                aux["grid_weights"] = out[-1]["grid_weights"]
             return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -219,7 +230,7 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
             "train/grad_norm": grad_norm,
             "train/grad_abs_max": grad_abs_max,
             "train/grad_norm_clipped": grad_norm_clipped,
-            "schedule/lr": lr_fn(step),
+            "schedule/lr": lr_fn(step + 1),
             "schedule/eps": eps,
             "schedule/alpha": alpha,
         }
@@ -407,7 +418,7 @@ def run_training(
                 render_chunk,
                 state.params,
                 test_dev,
-                float(alpha_fn(step)),
+                float(alpha_fn(step + 1)),
                 chunk=config.chunk,
             )
             psnr = float(mathx.mse_to_psnr(((out["rgb"] - test_case["pixels"]) ** 2).mean()))

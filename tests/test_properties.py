@@ -53,17 +53,39 @@ def test_box_hit_midpoint_is_inside(seed):
 
 
 @_settings
-@given(st.integers(0, 2**31), st.floats(0.05, 1.0))
+@given(st.integers(0, 2**31), st.floats(0.5, 2.0))
 def test_contract_is_radial_and_bounded(seed, threshold):
+    # Clean invariants hold for threshold >= 0.5, where the radial factor
+    # (2 - 1/||x||) is non-negative over the contracted region. Below 0.5 the
+    # reference-parity behavior reflects near-origin points (docs/DEFECTS.md
+    # #14) — pinned separately by test_contract_reference_band_reflects.
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.normal(size=(64, 3)) * rng.uniform(0.01, 50), jnp.float32)
     c = np.asarray(ops.contract(x, threshold=threshold))
-    assert np.all(np.linalg.norm(c, axis=-1) <= 2.0 + 1e-5)
+    assert np.all(np.linalg.norm(c, axis=-1) <= max(2.0, threshold) + 1e-5)
     # Direction preserved: c is a non-negative multiple of x.
     xs = np.asarray(x)
     cross = np.linalg.norm(np.cross(xs, c), axis=-1)
     assert np.all(cross <= 1e-3 * np.linalg.norm(xs, axis=-1) * np.maximum(np.linalg.norm(c, axis=-1), 1e-6) + 1e-5)
     assert np.all(np.einsum("ij,ij->i", xs, c) >= -1e-6)
+
+
+def test_contract_reference_band_reflects():
+    # Reference-parity regression for docs/DEFECTS.md #14: at the reference's
+    # threshold of 0.1 (mip360.py:47-60), points with 0.1 < ||x|| < 0.5 map to
+    # a NEGATIVE multiple of x — (2 - 1/||x||) < 0 — i.e. the contraction
+    # reflects them through the origin, with image norm up to 1/0.1 - 2 = 8.
+    rng = np.random.default_rng(0)
+    dirs = rng.normal(size=(32, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    norms = rng.uniform(0.11, 0.49, size=(32, 1))
+    x = jnp.asarray(dirs * norms, jnp.float32)
+    c = np.asarray(ops.contract(x, threshold=0.1))
+    # Anti-parallel to x, with the exact reference radial factor.
+    np.testing.assert_allclose(c, (2.0 - 1.0 / norms) * dirs, rtol=1e-4, atol=1e-5)
+    assert np.all(np.einsum("ij,ij->i", np.asarray(x), c) < 0)
+    # At the paper's threshold (the fix), the same points are untouched.
+    np.testing.assert_allclose(np.asarray(ops.contract(x, threshold=1.0)), np.asarray(x), atol=1e-7)
 
 
 @_settings

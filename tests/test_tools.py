@@ -102,3 +102,69 @@ def test_carla_postprocess_roundtrip(capture_dir, tmp_path):
     # Box dict carries both timesteps for the renumbered object 1.
     assert "1_1_center" in scene.box_pose and "2_1_center" in scene.box_pose
     assert scene.box_pose["1_1_ext"].shape == (3,)
+
+
+# ---------------------------------------------------------------------------
+# Static-capture pose math (reference carla/static_data*.py, offline).
+# ---------------------------------------------------------------------------
+
+from durf_tpu.tools import carla_capture as cap
+
+
+def test_sample_spherical_matches_reference_sampling():
+    # Reference static_data.py:443-449: np.random.seed(0), randn(3, n),
+    # per-column normalize, *10. Same RNG stream, same stations.
+    np.random.seed(0)
+    expect = np.random.randn(3, 16)
+    expect /= np.linalg.norm(expect, axis=0)
+    expect = (expect * 10.0).T
+    got = cap.sample_spherical(16, radius=10.0, seed=0)
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 10.0, rtol=1e-6)
+
+
+def test_lookat_c2w_geometry():
+    pos = np.array([3.0, -4.0, 2.0])
+    m = cap.lookat_c2w(pos, np.zeros(3))
+    # Affine with the camera position as translation.
+    np.testing.assert_allclose(m[:3, 3], pos)
+    np.testing.assert_allclose(m[3], [0, 0, 0, 1])
+    # Column 0 (CARLA x = forward) points at the target.
+    fwd = m[:3, 0]
+    np.testing.assert_allclose(fwd, -pos / np.linalg.norm(pos), atol=1e-12)
+    # right = z x forward has no z component; up completes the frame.
+    assert abs(m[2, 1]) < 1e-12
+    np.testing.assert_allclose(np.cross(fwd, m[:3, 1]), m[:3, 2], atol=1e-12)
+
+
+def test_carla_euler_roundtrip():
+    # carla.Rotation applies yaw/pitch/roll with a flipped pitch axis; the
+    # extraction must invert scipy's extrinsic-xyz factorization.
+    from scipy.spatial.transform import Rotation as R
+
+    rot = R.from_euler("xyz", [10.0, -25.0, 140.0], degrees=True).as_matrix()
+    roll, pitch, yaw = cap.carla_euler_from_matrix(rot)
+    np.testing.assert_allclose([roll, -pitch, yaw], [10.0, -25.0, 140.0], atol=1e-9)
+
+
+def test_spherical_path_shapes_and_orthonormality():
+    path = cap.spherical_path(8, n_candidates=20, radius=5.0, seed=0)
+    assert path.shape == (8, 4, 4)
+    rots = path[:, :3, :3]
+    eye = np.broadcast_to(np.eye(3), rots.shape)
+    np.testing.assert_allclose(rots @ rots.transpose(0, 2, 1), eye, atol=1e-10)
+    np.testing.assert_allclose(np.linalg.norm(path[:, :3, 3], axis=-1), 5.0, rtol=1e-6)
+    # First n_stations of the candidate set (reference keeps the first 100 of
+    # 200, static_data.py:490-501).
+    full = cap.sample_spherical(20, radius=5.0, seed=0)
+    np.testing.assert_allclose(path[:, :3, 3], full[:8])
+
+
+def test_yaw_schedule_and_prop_nudges_ranges():
+    yaws = cap.yaw_schedule(64, max_yaw=45.0, seed=0)
+    assert yaws.shape == (64,) and yaws.min() >= 0 and yaws.max() < 45
+    nudges = cap.prop_nudges(64, max_step=4, seed=0)
+    assert nudges.shape == (64, 3)
+    # Single-axis integer steps in [0, 4).
+    assert ((nudges != 0).sum(-1) <= 1).all()
+    assert nudges.min() >= 0 and nudges.max() <= 3
