@@ -43,6 +43,14 @@ def main():
         help="fused Pallas MLP kernels (default on: 8.3M vs 4.8M XLA; "
         "--no-pallas for the plain XLA path)",
     )
+    p.add_argument(
+        "--recurrent_encode",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="double-angle/repeated-squaring IPE (~5x fewer VPU "
+        "transcendentals in the encode fusions; --no-recurrent_encode for "
+        "the reference's direct form)",
+    )
     args = p.parse_args()
 
     for attempt in range(3):
@@ -68,6 +76,7 @@ def _run(args):
         config.model.compute_dtype = args.dtype
     if args.pallas:
         config.model.use_pallas_mlp = True
+    config.model.recurrent_encode = args.recurrent_encode
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

@@ -80,6 +80,12 @@ class ModelConfig:
     # the mod/where range reduction on the hot VPU path. False = reference's
     # safe_sin everywhere.
     fast_trig: bool = False
+    # Recurrence IPE: one exp/sin/cos per coordinate, degrees built by
+    # repeated squaring + double angles (~10x fewer VPU transcendentals at
+    # max_deg=10; the encode fusion dominates the non-MLP step time). Error
+    # grows ~2^k ulps along the band — far below bf16 resolution; pair with
+    # compute_dtype='bfloat16'. Needs diag_covariance. False = reference form.
+    recurrent_encode: bool = False
     # Diagonal-covariance pipeline: EXACT for the axis-aligned power-of-two
     # IPE basis (the only basis used), and avoids hauling [B,S,3,3] tensors
     # through forward+backward. False restores the reference's full-cov path.

@@ -27,9 +27,13 @@ from durf_tpu.parallel import replicate
 from durf_tpu.rays import Rays
 
 
-def build_pools(dataset, mesh) -> Dict[str, Any]:
+def build_pools(dataset, mesh, factor: int | None = None) -> Dict[str, Any]:
     """Assemble padded per-timestep pools from a train RayDataset and place
     them (replicated) on the mesh.
+
+    Args:
+      factor: which resolution-pyramid level to pool (defaults to the finest —
+        the only level present outside c2f runs).
 
     Returns a dict with:
       rays: Rays of [T, Nmax, C]; pixels/depth/sky: [T, Nmax, C];
@@ -38,7 +42,7 @@ def build_pools(dataset, mesh) -> Dict[str, Any]:
       init [T, N_obj, 6], target [T, N_obj, 6], ext [T, N_obj, 3] box tables.
     """
     scene = dataset.scene
-    pool = dataset._pools[dataset.factors[-1]]
+    pool = dataset._pools[dataset.factors[-1] if factor is None else factor]
     T = scene.total_timesteps
     counts = np.asarray([p["pixels"].shape[0] for p in pool.pools], np.int32)
     n_max = int(counts.max())
@@ -68,13 +72,22 @@ def build_pools(dataset, mesh) -> Dict[str, Any]:
     return jax.device_put(stacked, replicate(mesh))
 
 
+def build_pools_c2f(dataset, mesh) -> list:
+    """One pool set per pyramid factor, coarse -> fine (dataset.factors
+    order), for the c2f schedule's lax.switch (see sample_batch_c2f)."""
+    return [build_pools(dataset, mesh, factor=f) for f in dataset.factors]
+
+
 def pool_bytes(dataset) -> int:
-    """Approximate device bytes the pools would occupy."""
-    pool = dataset._pools[dataset.factors[-1]]
-    t = len(pool.pools)
-    n_max = max(p["pixels"].shape[0] for p in pool.pools)
+    """Approximate device bytes the pools would occupy (all pyramid levels —
+    a c2f run keeps every factor's pool resident)."""
     floats_per_ray = 3 + 1 + 1 + 13  # pixels + depth + sky + rays leaves
-    return t * n_max * floats_per_ray * 4
+    total = 0
+    for pool in dataset._pools.values():
+        t = len(pool.pools)
+        n_max = max(p["pixels"].shape[0] for p in pool.pools)
+        total += t * n_max * floats_per_ray * 4
+    return total
 
 
 def sample_batch(pools: Dict[str, Any], key: jax.Array, batch_size: int, batch_sharding=None):
@@ -110,3 +123,41 @@ def sample_batch(pools: Dict[str, Any], key: jax.Array, batch_size: int, batch_s
         batch["target"] = pools["target"][ts]
         batch["ext"] = pools["ext"][ts]
     return batch
+
+
+def c2f_factor_index(step, c2f_steps, n_factors: int):
+    """Device-side c2f level selection: number of crossed boundaries, clamped.
+
+    Matches RayDataset._current_factor (steps <= c2f_steps[i] select
+    factors[i], then the last; reference c2f_obb_dataset.py:305-313).
+    """
+    step = jnp.asarray(step)
+    idx = jnp.zeros((), jnp.int32)
+    for b in c2f_steps[: max(n_factors - 1, 0)]:
+        idx = idx + (step > b).astype(jnp.int32)
+    return jnp.minimum(idx, n_factors - 1)
+
+
+def sample_batch_c2f(
+    pools_by_factor: list,
+    step,
+    c2f_steps,
+    key: jax.Array,
+    batch_size: int,
+    batch_sharding=None,
+):
+    """c2f-aware device-side batch draw: pick the pyramid level from the
+    (device-resident) step, then gather from that level's pools.
+
+    Every level yields identically-shaped [B, ...] batches, so the selection
+    is one lax.switch — a single jit specialization covers the whole c2f
+    schedule with zero host involvement at factor boundaries.
+    """
+    if len(pools_by_factor) == 1:
+        return sample_batch(pools_by_factor[0], key, batch_size, batch_sharding)
+    idx = c2f_factor_index(step, c2f_steps, len(pools_by_factor))
+    branches = [
+        (lambda p: lambda: sample_batch(p, key, batch_size, batch_sharding))(p)
+        for p in pools_by_factor
+    ]
+    return jax.lax.switch(idx, branches)

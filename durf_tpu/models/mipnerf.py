@@ -259,6 +259,7 @@ class MipNerf(nn.Module):
                     alpha,
                     diag=diag,
                     safe=not cfg.fast_trig,
+                    recurrent=cfg.recurrent_encode,
                 )
                 obj_rgb, obj_density = box_mlps(obj_enc, viewdirs_enc)
                 obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
@@ -281,7 +282,12 @@ class MipNerf(nn.Module):
                 contract_fn = ops.contract_gaussian_diag if diag else ops.contract_gaussian
                 samples = contract_fn(*samples, threshold=cfg.contract_threshold)
             samples_enc = ops.integrated_pos_enc(
-                samples, cfg.min_deg_point, cfg.max_deg_point, diag=diag, safe=not cfg.fast_trig
+                samples,
+                cfg.min_deg_point,
+                cfg.max_deg_point,
+                diag=diag,
+                safe=not cfg.fast_trig,
+                recurrent=cfg.recurrent_encode,
             )
 
             raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc)

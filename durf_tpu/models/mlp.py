@@ -121,9 +121,12 @@ class NerfMLP(nn.Module):
 
         if self.use_pallas and condition is not None and not self.is_initializing():
             interpret = jax.default_backend() == "cpu"
+            # Feed the kernel in compute dtype: the convert fuses into the
+            # producing encode fusion (no separate cast pass at the custom-
+            # call boundary) and halves the [N, F] HBM traffic under bf16.
             raw_rgb, raw_density = fk.fused_nerf_mlp(
-                flat_x,
-                cond_b,
+                flat_x.astype(self.compute_dtype),
+                cond_b.astype(self.compute_dtype),
                 weights,
                 cfg,
                 self.pallas_tile,

@@ -88,6 +88,53 @@ def windowed_pos_enc(
     return feat
 
 
+def _ipe_features_recurrent(x, x_cov_diag, min_deg: int, max_deg: int):
+    """Recurrence IPE: one exp/sin/cos per coordinate instead of per feature.
+
+    The IPE features at degree k are exp(-4^k v / 2) * {sin, cos}(2^k x).
+    Walking degrees low->high:
+      attenuation: e_{k+1} = ((e_k)^2)^2          (exp(-4^{k+1} v/2) = e_k^4)
+      angle:       s_{k+1} = 2 s_k c_k,  c_{k+1} = c_k^2 - s_k^2   (double angle)
+    so the whole band costs 1 exp + 1 sin + 1 cos + O(max_deg) multiplies per
+    coordinate — ~10x fewer VPU transcendentals than the direct form at
+    max_deg = 10, which profiling shows dominates the non-MLP step time
+    (docs/DESIGN.md step profile). Error grows ~2^k ulps along the recurrence
+    (~5e-5 absolute at degree 9 in fp32), far below bf16 resolution — this is
+    the intended companion of compute_dtype='bfloat16'.
+
+    Both chains amplify their seed's rounding (the 4th-power chain by 4 PER
+    DEGREE relative — 4^9 * 1 ulp ~ 2e-2 at the top of a 10-degree band), so
+    the recurrences RESTART from fresh transcendentals every `_RESTART`
+    degrees: error stays ~1e-5 while still cutting transcendentals ~5x.
+
+    Matches _ipe_features(..., diag=True, safe=False) feature-for-feature:
+    output layout [sin(deg, dim)..., cos(deg, dim)...].
+    """
+    x_cov_diag = jnp.maximum(x_cov_diag, 0.0)
+    _RESTART = 5
+    e = s = c = None
+    sin_feats, cos_feats = [], []
+    for i, deg in enumerate(range(min_deg, max_deg)):
+        if i % _RESTART == 0:
+            scale = 2.0**deg
+            e = jnp.exp((-0.5 * scale * scale) * x_cov_diag)
+            s = jnp.sin(scale * x)
+            c = jnp.cos(scale * x)
+        sin_feats.append(e * s)
+        cos_feats.append(e * c)
+        e2 = e * e
+        e = e2 * e2
+        s, c = 2.0 * s * c, c * c - s * s
+    shape = x.shape[:-1] + (-1,)
+    return jnp.concatenate(
+        [
+            jnp.reshape(jnp.stack(sin_feats, axis=-2), shape),
+            jnp.reshape(jnp.stack(cos_feats, axis=-2), shape),
+        ],
+        axis=-1,
+    )
+
+
 def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool, safe: bool = True):
     """Shared IPE core: lifted means/variances -> expected sin features."""
     if diag:
@@ -116,7 +163,8 @@ def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool, safe: bool = 
 
 
 def integrated_pos_enc(
-    x_coord, min_deg: int, max_deg: int, diag: bool = False, safe: bool = True
+    x_coord, min_deg: int, max_deg: int, diag: bool = False, safe: bool = True,
+    recurrent: bool = False,
 ) -> jax.Array:
     """Integrated positional encoding of a Gaussian (mean, cov).
 
@@ -124,20 +172,29 @@ def integrated_pos_enc(
       x_coord: (means [..., 3], covs [..., 3, 3] or diag [..., 3]).
       min_deg/max_deg: frequency band.
       diag: whether covs are diagonal.
+      recurrent: use the double-angle/repeated-squaring form (diag only;
+        ~10x fewer transcendentals, fp-rounding-equivalent — see
+        _ipe_features_recurrent).
 
     Reference mip.py:226-282 (matmuls at HIGHEST precision, mip.py:275-278).
     """
+    if recurrent and diag:
+        return _ipe_features_recurrent(x_coord[0], x_coord[1], min_deg, max_deg)
     return _ipe_features(x_coord, min_deg, max_deg, diag, safe)
 
 
 def windowed_ipe(
-    x_coord, min_deg: int, max_deg: int, alpha, diag: bool = False, safe: bool = True
+    x_coord, min_deg: int, max_deg: int, alpha, diag: bool = False, safe: bool = True,
+    recurrent: bool = False,
 ) -> jax.Array:
     """BARF-windowed IPE with the identity (mean) prepended.
 
     Used for the per-object MLP inputs so noisy box poses can be optimized
     coarse-to-fine (reference mip.py:182-223; identity prepend at 222).
     """
-    feat = _ipe_features(x_coord, min_deg, max_deg, diag, safe)
+    if recurrent and diag:
+        feat = _ipe_features_recurrent(x_coord[0], x_coord[1], min_deg, max_deg)
+    else:
+        feat = _ipe_features(x_coord, min_deg, max_deg, diag, safe)
     w = _barf_window(alpha, min_deg, max_deg, x_coord[0].shape[-1], feat.dtype)
     return jnp.concatenate([x_coord[0], w * feat], axis=-1)

@@ -299,8 +299,10 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
             *dw_specs,
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, in_dim), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, cond.shape[-1]), jnp.float32),
+            # Input cotangents carry the input dtypes (custom_vjp contract;
+            # x/cond may arrive in bf16 from the encode fusion).
+            jax.ShapeDtypeStruct((n_pad, in_dim), x.dtype),
+            jax.ShapeDtypeStruct((n_pad, cond.shape[-1]), cond.dtype),
             *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights_2d],
         ],
         interpret=interpret,

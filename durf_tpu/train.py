@@ -330,22 +330,32 @@ def run_training(
     step_body = make_train_step(model, config, tx, jax.random.key(20200823))
 
     # Device-resident fast path: pools uploaded once, batches sampled in-jit
-    # (see durf_tpu/data/device_data.py). Host streaming otherwise.
+    # (see durf_tpu/data/device_data.py). Under c2f every pyramid level's pool
+    # is resident and a lax.switch on the device step picks the level — no
+    # host fallback at factor boundaries. Host streaming otherwise.
     use_device_data = (
         config.device_resident_data
         and config.batching == "timestep"
-        and not config.use_c2f
         and jax.process_count() == 1
         and device_data.pool_bytes(dataset) <= config.device_data_max_bytes
     )
     if use_device_data:
-        pools = device_data.build_pools(dataset, mesh)
+        pools = (
+            device_data.build_pools_c2f(dataset, mesh)
+            if config.use_c2f
+            else [device_data.build_pools(dataset, mesh)]
+        )
         sample_key = jax.random.key(20201473)
         bsharding = batch_sharding(mesh)
+        c2f_steps = tuple(config.c2f_steps)
 
         def device_step(state, pools):
             key = jax.random.fold_in(sample_key, state.step)
-            batch = device_data.sample_batch(pools, key, config.batch_size, bsharding)
+            # Schedules (and the reference's c2f driver, train_boxpose.py:421)
+            # key on the 1-indexed step number.
+            batch = device_data.sample_batch_c2f(
+                pools, state.step + 1, c2f_steps, key, config.batch_size, bsharding
+            )
             return step_body(state, batch)
 
         train_step = jax.jit(device_step, donate_argnums=(0,))
@@ -366,8 +376,10 @@ def run_training(
     gc.disable()
     stats = {}
     for step in range(init_step, max_steps):
-        dataset.set_step(step)
-        test_dataset.set_step(step)
+        # The c2f schedule keys on the 1-indexed step number, like the
+        # reference's `test_dataset.train_it = step` (train_boxpose.py:421).
+        dataset.set_step(step + 1)
+        test_dataset.set_step(step + 1)
         if use_device_data:
             state, stats = train_step(state, pools)
         else:

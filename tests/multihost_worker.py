@@ -1,0 +1,94 @@
+"""Subprocess worker for the 2-process multi-host CPU test.
+
+Each process owns 4 virtual CPU devices (8 global), initializes the JAX
+distributed runtime over localhost, feeds its HALF of a deterministic global
+ray batch through shard_batch's make_array_from_process_local_data path
+(durf_tpu/parallel/mesh.py), and runs ONE jitted train step on the global
+mesh. Prints the resulting global loss — the parent test asserts both
+processes agree with the single-process value.
+
+Run (by tests/test_parallel.py):
+  PYTHONPATH=<repo> JAX_PLATFORMS=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+  python multihost_worker.py <coordinator> <num_procs> <proc_id>
+"""
+
+import sys
+
+
+def global_example_batch(global_batch: int):
+    from durf_tpu.data.synthetic import example_ray_batch
+
+    return example_ray_batch(batch_size=global_batch, n_obj=2, timesteps=3, seed=7)
+
+
+def worker_loss(global_batch: int = 32) -> float:
+    import jax
+
+    from durf_tpu import train as trainlib
+    from durf_tpu.configs import Config, MLPConfig, ModelConfig
+    from durf_tpu.models import construct_model
+    from durf_tpu.parallel import make_mesh, replicate, shard_batch
+
+    config = Config(
+        batch_size=global_batch,
+        lr_init=5e-3,
+        lr_final=5e-4,
+        lr_delay_steps=0,
+        grad_max_norm=1.0,
+        grad_max_val=0.1,
+        randomized=False,
+        model=ModelConfig(
+            num_samples=4,
+            num_levels=2,
+            max_deg_point=3,
+            deg_view=2,
+            num_objects=2,
+            timesteps=3,
+            density_noise=0.0,
+            mlp=MLPConfig(net_depth=2, net_width=16, net_width_condition=8),
+            box_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+        ),
+    )
+
+    batch = global_example_batch(global_batch)
+    local = global_batch // jax.process_count()
+    lo = jax.process_index() * local
+    import numpy as np
+
+    def slice_local(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == global_batch:
+            return x[lo : lo + local]
+        return x
+
+    local_batch = jax.tree.map(slice_local, batch)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8, mesh
+    batch_dev = shard_batch(local_batch, mesh, global_batch)
+
+    model, variables = construct_model(jax.random.key(0), batch_dev, config.model)
+    tx = trainlib.make_optimizer(config)
+    state = trainlib.create_train_state(config, variables, tx)
+    state = jax.device_put(state, replicate(mesh))
+    step = jax.jit(trainlib.make_train_step(model, config, tx, jax.random.key(1)))
+    new_state, stats = step(state, batch_dev)
+    return float(jax.device_get(stats["train/loss"]))
+
+
+def main():
+    coordinator, num_procs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coordinator, num_processes=num_procs, process_id=pid
+    )
+    assert jax.process_count() == num_procs
+    loss = worker_loss()
+    print(f"MULTIHOST_LOSS {jax.process_index()} {loss:.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -414,3 +414,19 @@ def test_bfloat16_compute_path(dyn_model):
     # Params stay fp32.
     k = variables["params"]["background_mlp"]["trunk_0"]["kernel"]
     assert k.dtype == jnp.float32
+
+
+def test_recurrent_encode_matches_direct(dyn_model):
+    # Model-level: recurrent_encode must reproduce the exact-IPE radiance to
+    # bf16-level tolerance on the dynamic scene-graph path.
+    _, batch, _, _ = dyn_model
+    kwargs = dict(
+        rays=batch["rays"], init_boxes=batch["init"], ext=batch["ext"], ts=batch["ts"],
+        randomized=False, background="gray", alpha=2.5,
+    )
+    model_d, variables = construct_model(jax.random.key(0), batch, tiny_model_config())
+    model_r = MipNerf(tiny_model_config(recurrent_encode=True))
+    a = model_d.apply(variables, rng=jax.random.key(1), **kwargs)
+    b = model_r.apply(variables, rng=jax.random.key(1), **kwargs)
+    np.testing.assert_allclose(np.asarray(a[-1]["rgb"]), np.asarray(b[-1]["rgb"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a[-1]["depth"]), np.asarray(b[-1]["depth"]), atol=1e-3)

@@ -378,3 +378,39 @@ def test_world_to_box_frames_translation_and_rotation():
     np.testing.assert_allclose(np.asarray(o_o[0, 0]), [0.0, 0.0, -1.0], atol=1e-5)
     # Direction is unit-normalized: z->x under Ry(90°).
     np.testing.assert_allclose(np.asarray(d_o[0, 0]), [1.0, 0.0, 0.0], atol=1e-5)
+
+
+def test_recurrent_ipe_matches_direct():
+    # The double-angle/repeated-squaring IPE must equal the direct form up to
+    # fp32 recurrence rounding (~2^k ulps at degree k) over the contracted
+    # domain (|x| <= 2) and realistic variances.
+    from durf_tpu.ops import encoding
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-2, 2, size=(128, 3)), jnp.float32)
+    v = jnp.asarray(rng.uniform(0, 0.5, size=(128, 3)) ** 2, jnp.float32)
+    for min_deg, max_deg in [(0, 10), (0, 4), (2, 8)]:
+        direct = encoding.integrated_pos_enc((x, v), min_deg, max_deg, diag=True, safe=False)
+        rec = encoding.integrated_pos_enc(
+            (x, v), min_deg, max_deg, diag=True, recurrent=True
+        )
+        assert rec.shape == direct.shape
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(direct), atol=3e-4)
+
+    # windowed variant, mid-anneal alpha (non-trivial window).
+    wd = encoding.windowed_ipe((x, v), 0, 10, 5.5, diag=True, safe=False)
+    wr = encoding.windowed_ipe((x, v), 0, 10, 5.5, diag=True, recurrent=True)
+    np.testing.assert_allclose(np.asarray(wr), np.asarray(wd), atol=3e-4)
+
+    # Gradients flow and agree (the recurrence has a very different autodiff
+    # graph — this is the property the training path depends on).
+    f_direct = lambda a, b: jnp.sum(
+        encoding.integrated_pos_enc((a, b), 0, 10, diag=True, safe=False) ** 2
+    )
+    f_rec = lambda a, b: jnp.sum(
+        encoding.integrated_pos_enc((a, b), 0, 10, diag=True, recurrent=True) ** 2
+    )
+    gx_d, gv_d = jax.grad(f_direct, argnums=(0, 1))(x, v)
+    gx_r, gv_r = jax.grad(f_rec, argnums=(0, 1))(x, v)
+    np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_d), rtol=1e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_d), rtol=1e-3, atol=2e-2)

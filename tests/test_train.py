@@ -142,3 +142,71 @@ def test_metrics_jsonl_written(scene_dir, tmp_path):
     row = next(l for l in lines if "train/loss" in l)
     for key in ("train/psnr", "schedule/lr", "loss/depth_1", "perf/rays_per_sec"):
         assert key in row
+
+
+@pytest.fixture(scope="module")
+def c2f_train_scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("c2f_train_scene")
+    generate_scene(
+        str(d), timesteps=3, width=160, height=128, focal=140.0, factors=(16, 12, 8, 4)
+    )
+    return str(d)
+
+
+def test_c2f_training_crosses_boundaries_device_resident(c2f_train_scene, tmp_path):
+    # End-to-end c2f (VERDICT round-1 item 5): train through TWO factor
+    # boundaries on the pyramid fixture with the device-resident fast path —
+    # the per-factor pools + lax.switch must keep training (and improving)
+    # across resolution changes without falling back to host streaming.
+    cfg = tiny_train_config(
+        max_steps=36,
+        print_every=6,
+        save_every=100,
+        use_c2f=True,
+        c2f_steps=(6, 12, 10_000),
+    )
+    logs = []
+    state = run_training(cfg, c2f_train_scene, str(tmp_path / "c2f"), log_fn=logs.append)
+    assert int(state.step) == 36
+    assert any("device-resident" in l for l in logs)  # fast path retained
+    losses = [float(l.split("loss=")[1].split(" ")[0]) for l in logs if "loss=" in l]
+    assert len(losses) == 6
+    assert all(np.isfinite(l) for l in losses)
+    # Losses are NOT comparable across factors (coarser images are easier),
+    # so assert improvement WITHIN the final factor-8 segment: prints at
+    # steps 18/24 vs 30/36, all after the last boundary at step 12.
+    assert np.mean(losses[-2:]) < np.mean(losses[2:4])
+
+
+def test_c2f_training_host_streaming_matches_schedule(c2f_train_scene, tmp_path):
+    # The host pipeline's stale-batch discard + factor schedule also train
+    # through a boundary (the reference's only c2f path).
+    cfg = tiny_train_config(
+        max_steps=16,
+        print_every=8,
+        save_every=100,
+        use_c2f=True,
+        c2f_steps=(8, 12, 10_000),
+    )
+    cfg.device_resident_data = False
+    logs = []
+    state = run_training(cfg, c2f_train_scene, str(tmp_path / "c2fh"), log_fn=logs.append)
+    assert int(state.step) == 16
+    losses = [float(l.split("loss=")[1].split(" ")[0]) for l in logs if "loss=" in l]
+    assert len(losses) == 2 and all(np.isfinite(l) for l in losses)
+
+
+def test_c2f_factor_index_matches_host_schedule():
+    from durf_tpu.data import device_data
+    from durf_tpu.data.pipeline import RayDataset
+
+    c2f_steps = (5, 10, 20)
+    factors = [16, 12, 8, 4]
+    host = RayDataset.__new__(RayDataset)  # schedule logic only
+    host.factors = factors
+    host.c2f_steps = c2f_steps
+    for step_1idx in [1, 4, 5, 6, 10, 11, 20, 21, 500]:
+        host._step = step_1idx
+        expect = factors.index(host._current_factor())
+        got = int(device_data.c2f_factor_index(step_1idx, c2f_steps, len(factors)))
+        assert got == expect, (step_1idx, got, expect)
