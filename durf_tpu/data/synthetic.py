@@ -107,9 +107,24 @@ def _render(
         t_near = t0.max(-1)
         t_far = t1.min(-1)
         hit_box = (t_far > np.maximum(t_near, 1e-6)) & (t_near < t_hit)
-        # simple lambertian-ish shading by entry face height
+        # Lambertian-ish shading by entry face height, plus a box-frame
+        # checker texture: without it the faces are uniform and translating
+        # the box parallel to a face leaves the image (hence the pose
+        # gradient) almost unchanged — pose-recovery studies need dense
+        # photometric signal, not just silhouette edges.
         p = o[None, None] + t_near[..., None] * d
         shade = 0.6 + 0.4 * np.clip(p[..., 1] / max(ext[1], 1e-6), -1, 1)
+        cell = max(ext.min() / 2.0, 1e-6)
+        with np.errstate(invalid="ignore"):
+            checker_box = np.nan_to_num(
+                (
+                    np.floor(p[..., 0] / cell)
+                    + np.floor(p[..., 1] / cell)
+                    + np.floor(p[..., 2] / cell)
+                )
+                % 2
+            ).astype(np.float32)
+        shade = shade * (0.55 + 0.45 * checker_box)
         t_hit = np.where(hit_box, t_near, t_hit)
         rgb = np.where(hit_box[..., None], color * shade[..., None], rgb)
         inst = np.where(hit_box, obj_id, inst)

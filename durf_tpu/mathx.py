@@ -230,14 +230,17 @@ def sorted_piecewise_constant_pdf(
     Apache-2.0 mip-NeRF `internal/math.py`) to float tolerance: eps-padding so
     all-zero weights are valid, CDF pinned to exactly 0/1 at the ends, and u
     drawn in [0, 1). The interval lookup here is an independent formulation:
-    instead of the reference's masked max/min reductions over a [bins, samples]
-    comparison matrix, we count how many CDF fenceposts sit at or below each u
-    (a rank reduction over the same matrix — one pass instead of four) and
-    gather the bracketing bin/CDF pairs with take_along_axis. For sorted cdf
-    with cdf[0] = 0 <= u < 1 = cdf[-1], `rank = #{i : cdf_i <= u}` satisfies
-    1 <= rank <= num_bins, and [cdf[rank-1], cdf[rank]) brackets u even when
-    zero-weight bins duplicate CDF values (the count lands past the LAST
-    duplicate, exactly like the reference's masked max).
+    instead of the reference's four masked max/min reductions over a
+    [bins, samples] comparison matrix, we detect the bracketing interval as
+    the 0→1 boundary of that (sorted) mask down the fencepost axis — giving a
+    one-hot [fenceposts, samples] selector for the left edge (shift it one row
+    for the right edge) — and contract it with bins/cdf as a matmul. For
+    sorted cdf with cdf[0] = 0 <= u < 1 = cdf[-1] the boundary row is
+    exactly the LAST fencepost with cdf_i <= u (even when zero-weight bins
+    duplicate CDF values), matching the reference's masked max. Everything
+    stays dense (comparisons + two batched matmuls on the MXU): an earlier
+    take_along_axis form lowered to gather/scatter on TPU and cost ~15% of
+    the whole train step (docs/DESIGN.md).
     """
     eps = 1e-5
     weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
@@ -265,17 +268,23 @@ def sorted_piecewise_constant_pdf(
         u = jnp.linspace(0.0, 1.0 - jnp.finfo("float32").eps, num_samples)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
 
-    # Rank of each sample among the CDF fenceposts: rank[..., j] = #{i :
-    # cdf_i <= u_j}, in [1, num_bins] (cdf[0] = 0 <= u < 1 = cdf[-1]).
-    rank = jnp.sum(
-        (cdf[..., :, None] <= u[..., None, :]).astype(jnp.int32), axis=-2
+    # mask[..., i, j] = (cdf_i <= u_j) is a prefix-of-ones down the fencepost
+    # axis; the left bracket is its last 1 (the 1→0 boundary row), the right
+    # bracket the row after. cdf[0] = 0 <= u < 1 = cdf[-1] guarantees the
+    # boundary exists strictly inside the axis.
+    mask = cdf[..., :, None] <= u[..., None, :]
+    below = jnp.concatenate(
+        [mask[..., 1:, :], jnp.zeros_like(mask[..., :1, :])], axis=-2
     )
-    lo = rank - 1
+    lo_1h = (mask & ~below).astype(cdf.dtype)  # one-hot [..., fenceposts, samples]
+    hi_1h = jnp.concatenate(
+        [jnp.zeros_like(lo_1h[..., :1, :]), lo_1h[..., :-1, :]], axis=-2
+    )
 
     def bracket(x):
         return (
-            jnp.take_along_axis(x, lo, axis=-1),
-            jnp.take_along_axis(x, rank, axis=-1),
+            jnp.einsum("...i,...ij->...j", x, lo_1h),
+            jnp.einsum("...i,...ij->...j", x, hi_1h),
         )
 
     bins_g0, bins_g1 = bracket(bins)

@@ -26,6 +26,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot_impl(a, w, dtype):
@@ -112,9 +113,14 @@ def mlp_params_from_flax(params: Dict[str, Any], config) -> list:
     return ops
 
 
-def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16):
+def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None):
     """Run the full MLP on one [T, in_dim] tile (pure jnp; used inside the
-    kernel so it lowers to MXU ops on VMEM values)."""
+    kernel so it lowers to MXU ops on VMEM values).
+
+    act_dtype: optional storage dtype for post-relu activations. Every
+    consumer matmul casts to `dtype` anyway, so storing relu outputs in bf16
+    is numerically free on the forward; in the backward kernel it halves the
+    jax.vjp residual footprint in VMEM, which is what bounds the tile size."""
     it = iter(weights)
     nxt = lambda: next(it)
     h = x
@@ -130,6 +136,8 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
         else:
             h = _dot(h, k, dtype) + b
         h = jax.nn.relu(h)
+        if act_dtype is not None:
+            h = h.astype(act_dtype)
         # (the concat itself is virtual: we keep h and x separate)
     dk, db = nxt(), nxt()
     raw_density = _dot(h, dk, dtype) + db
@@ -148,6 +156,8 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
             else:
                 g = _dot(g, hk, dtype) + hb
             g = jax.nn.relu(g)
+            if act_dtype is not None:
+                g = g.astype(act_dtype)
     rk, rb = nxt(), nxt()
     raw_rgb = _dot(g, rk, dtype) + rb
     return raw_rgb, raw_density
@@ -223,6 +233,9 @@ def _fused_forward(x, cond, weights, config, tile, interpret):
             jax.ShapeDtypeStruct((n_pad, config.num_density_channels), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(x, cond, *weights)
     return rgb[:n], density[:n]
 
@@ -246,9 +259,14 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
     g_rgb, g_den = grads
     n, in_dim = x.shape
     # The backward tile holds the recomputed activations AND the vjp
-    # residuals in VMEM — use half the forward tile to stay under the ~16 MB
-    # scoped-vmem budget (1024 was measured at 22.7 MB; 512 fits).
-    tile = min(max(tile // 2, 256), 512)
+    # residuals in VMEM. Residuals are stashed in bf16 (act_dtype below —
+    # numerically free: every consumer matmul casts to bf16 anyway): fp32
+    # tile 1024 measured 22.7 MB, bf16 18.1 MB. That still exceeds the
+    # DEFAULT 16 MB scoped-vmem budget, so the pallas_call raises
+    # vmem_limit_bytes (v5e has 128 MB of VMEM; the default budget just
+    # reserves headroom for double-buffering, which this kernel barely
+    # needs — its streamed blocks are the small [T, F] edges).
+    tile = min(max(tile // 2, 256), 1024)
     n_pad = _round_up(max(n, tile), tile)
     if n_pad != n:
         pad = ((0, n_pad - n), (0, 0))
@@ -263,7 +281,9 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
         dw_refs = refs[n_w + 2 :]
 
         def fwd(x_, c_, ws):
-            return _forward_tile(config, in_dim, x_, c_, ws)
+            return _forward_tile(
+                config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16
+            )
 
         _, vjp = jax.vjp(fwd, x_ref[:], cond_ref[:], [w[:] for w in w_refs])
         dx, dcond, dws = vjp((grgb_ref[:], gden_ref[:]))
@@ -306,6 +326,9 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
             *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights_2d],
         ],
         interpret=interpret,
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(x, cond, g_rgb, g_den, *weights_2d)
     # Bias grads come back [1, W]; match the original [W] structure.
     dweights = [

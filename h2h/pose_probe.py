@@ -1,0 +1,159 @@
+"""Pose-gradient isolation probe: optimize ONLY the box-pose table against a
+frozen, GT-trained radiance field.
+
+Joint pose+field optimization can fail for many reasons (the field absorbs
+pose error, annealing schedules, loss balance). This probe removes all of
+them: the field is pre-trained with GT poses (no_pose_opt=True), the pose
+table is then noised exactly like the dataset's `random_box` path
+(scene.py:148-149 — uniform +-box_noise meters), and a masked Adam updates
+`params['box_centers']` alone. If the pose gradients are correct and the
+scene carries pose signal, the table must converge back to GT.
+
+Usage:
+  python h2h/pose_probe.py --data_dir /tmp/h2h/scene1t \
+      --field_dir /tmp/h2h/gtfield --steps 3000 --pose_lr 1e-3
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from durf_tpu.checkpoints import CheckpointManager
+from durf_tpu.configs import load_config
+from durf_tpu.data import device_data
+from durf_tpu.models import construct_model
+from durf_tpu.parallel import batch_sharding, make_mesh, replicate, shard_batch
+from durf_tpu.pose_eval import pose_errors
+from durf_tpu.train import TrainState, create_train_state, get_dataset, make_train_step
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--field_dir", required=True)
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--pose_lr", type=float, default=1e-3)
+    p.add_argument("--report_every", type=int, default=250)
+    p.add_argument(
+        "--alpha",
+        type=float,
+        default=None,
+        help="pin the BARF alpha (frequency window). The full window "
+        "(alpha = max_deg = 10) gives a narrow photometric basin around the "
+        "true pose; coarse-only windows widen it (the BARF premise).",
+    )
+    p.add_argument(
+        "--keep_gt",
+        action="store_true",
+        help="skip the noise injection (diagnostic: the frozen field with GT "
+        "poses must reproduce the training loss)",
+    )
+    args = p.parse_args()
+
+    config = load_config(
+        ["/root/repo/configs/carla_dyn.gin"],
+        [
+            "Config.random_box = True",
+            "MipNerfModel.num_objects = 1",
+            "MipNerfModel.no_pose_opt = False",
+            "MipNerfModel.no_yaw_opt = False",
+            'MipNerfModel.compute_dtype = "bfloat16"',
+            "MipNerfModel.use_pallas_mlp = True",
+            "MipNerfModel.recurrent_encode = True",
+            # The probe's step counter restarts at 0, so pin every schedule to
+            # its CONVERGED value (the field was trained to eps_final=0.2;
+            # evaluating it with the fresh eps_init=3.0 URF window makes the
+            # near/empty losses dominate and corrupts the pose gradient).
+            "Config.max_steps = 20000",
+            "Config.eps_init = 0.2",
+            "Config.eps_final = 0.2",
+            "Config.eps_max_steps = 1",
+        ]
+        + (
+            [f"Config.alpha_init = {args.alpha}", f"Config.alpha_final = {args.alpha}"]
+            if args.alpha is not None
+            else []
+        ),
+    )
+
+    mesh = make_mesh()
+    dataset = get_dataset("train", args.data_dir, config)
+    example_dev = shard_batch(dataset.peek(), mesh, config.batch_size)
+    model, variables = construct_model(jax.random.key(20200823), example_dev, config.model)
+
+    # Pose-only optimizer: every other leaf is frozen. NOTE: optax.masked
+    # passes UNMASKED leaves' gradients through as raw updates (it does not
+    # zero them), so freezing needs an explicit set_to_zero branch.
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: (
+            "pose"
+            if any(getattr(k, "key", None) == "box_centers" for k in path)
+            else "frozen"
+        ),
+        variables["params"],
+    )
+    tx = optax.multi_transform(
+        {"pose": optax.adam(args.pose_lr), "frozen": optax.set_to_zero()}, labels
+    )
+    state = create_train_state(config, variables, tx)
+
+    ckpt = CheckpointManager(args.field_dir)
+    restored = ckpt.restore_raw()
+    params = dict(restored["params"])
+    gt = np.asarray(params["box_centers"])  # trained with GT init, pose-opt off
+    init = dataset.scene.init_table(use_off=True)  # same noise as random_box
+    if not args.keep_gt:
+        params["box_centers"] = jnp.asarray(init)
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        grid=state.grid,
+    )
+    state = jax.device_put(state, replicate(mesh))
+
+    print("init_vs_gt:", {k: round(v, 4) for k, v in pose_errors(init, gt).items()})
+
+    step_body = make_train_step(model, config, tx, jax.random.key(7))
+    pools = [device_data.build_pools(dataset, mesh)]
+    bsharding = batch_sharding(mesh)
+    sample_key = jax.random.key(11)
+
+    def device_step(state, pools):
+        key = jax.random.fold_in(sample_key, state.step)
+        batch = device_data.sample_batch_c2f(
+            pools, state.step + 1, (), key, config.batch_size, bsharding
+        )
+        return step_body(state, batch)
+
+    train_step = jax.jit(device_step, donate_argnums=(0,))
+
+    for step in range(args.steps):
+        state, stats = train_step(state, pools)
+        if step == 0:
+            comp = {
+                k: round(float(v), 4)
+                for k, v in jax.device_get(stats).items()
+                if k.startswith("loss/")
+            }
+            print("loss breakdown @1:", comp, flush=True)
+        if (step + 1) % args.report_every == 0:
+            table = np.asarray(jax.device_get(state.params["box_centers"]))
+            e = pose_errors(table, gt)
+            print(
+                f"step {step + 1}: loss={float(jax.device_get(stats['train/loss'])):.4f} "
+                f"pose_mse={e['mse_total']:.4f} angle={e['angle_deg_mean']:.3f}",
+                flush=True,
+            )
+
+    table = np.asarray(jax.device_get(state.params["box_centers"]))
+    print("final_vs_gt:", {k: round(v, 4) for k, v in pose_errors(table, gt).items()})
+
+
+if __name__ == "__main__":
+    main()
