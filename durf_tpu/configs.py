@@ -167,6 +167,15 @@ class Config:
     use_c2f: bool = False  # coarse-to-fine resolution pyramid (16/12/8/4)
     exact_distortion: bool = False  # O(N^2) parity form instead of O(N)
     pose_lr_mult: float = 1.0  # LR multiplier for the box_centers pose table
+    # Pose-LR warmup (durf_tpu extension; 0 = off): the pose table's LR is 0
+    # until `pose_lr_delay_steps`, then ramps linearly to pose_lr_mult over
+    # `pose_lr_ramp_steps`. Rationale (docs/DESIGN.md "Joint pose
+    # optimization"): before the field has coarse structure, pose gradients
+    # are noise — a measured 0.23->0.47 pose-MSE blowup in the first 5k steps
+    # at pose_lr_mult=2 — while a converged field recovers noised poses
+    # cleanly. Delay the pose updates past the garbage-gradient phase.
+    pose_lr_delay_steps: int = 0
+    pose_lr_ramp_steps: int = 1000
     checkpoint_keep: int = 100
     data_parallel_axis: str = "data"
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -27,13 +27,14 @@ from durf_tpu.checkpoints import CheckpointManager
 from durf_tpu.configs import Config, load_config
 from durf_tpu.data import get_dataset
 from durf_tpu.models import construct_model
-from durf_tpu.parallel import make_mesh, replicate, shard_batch
+from durf_tpu.parallel import eval_mesh, make_mesh, replicate, shard_batch
 from durf_tpu.train import (
     create_train_state,
     evaluate_image,
     make_alpha_schedule,
     make_optimizer,
     make_render_fn,
+    params_for_render,
 )
 
 
@@ -52,8 +53,10 @@ def restore_for_eval(config: Config, data_dir: str, train_dir: str, split: str =
     if ckpt.latest_step is None:
         raise FileNotFoundError(f"no checkpoint found in {train_dir}")
     state = ckpt.restore(state)
-    render_chunk = make_render_fn(model, config, mesh)
-    return mesh, dataset, model, state, render_chunk
+    # Rendering runs on the host-local mesh under multihost (parallel.eval_mesh).
+    rmesh = eval_mesh(mesh)
+    render_chunk = make_render_fn(model, config, rmesh)
+    return rmesh, dataset, model, state, render_chunk
 
 
 def _lpips_fn():
@@ -100,7 +103,7 @@ def evaluate(
         case = next(dataset)
         dev = {k: jax.device_put(np.asarray(v), replicate(mesh)) for k, v in case.items() if k != "rays"}
         dev["rays"] = case["rays"]
-        out = evaluate_image(render_chunk, state.params, dev, alpha, chunk=config.chunk)
+        out = evaluate_image(render_chunk, params_for_render(state), dev, alpha, chunk=config.chunk)
         gt = case["pixels"]
         mse = float(((out["rgb"] - gt) ** 2).mean())
         psnr = float(mathx.mse_to_psnr(mse))

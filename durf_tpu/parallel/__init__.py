@@ -10,9 +10,10 @@ via jax.distributed + per-host data loading.
 
 from durf_tpu.parallel.mesh import (
     batch_sharding,
+    eval_mesh,
     make_mesh,
     replicate,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate"]
+__all__ = ["make_mesh", "batch_sharding", "shard_batch", "replicate", "eval_mesh"]

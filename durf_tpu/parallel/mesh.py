@@ -24,6 +24,22 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_A
     return Mesh(np.asarray(devices), (axis,))
 
 
+def eval_mesh(mesh: Mesh, axis: str = DATA_AXIS) -> Mesh:
+    """The mesh full-image rendering should run on.
+
+    Single-process: the training mesh itself. Multi-process: a HOST-LOCAL
+    mesh — eval/render feed numpy chunks with `jax.device_put`, which cannot
+    address another host's devices (only `make_array_from_process_local_data`
+    can, and image chunks are host-local by nature). Every host renders its
+    own copy on its local chips (the model is replicated; chunk DP rides the
+    local ICI) and process 0 logs/saves. The reference's render path
+    host-slices pmap inputs the same way (obbpose_model.py:448-465).
+    """
+    if jax.process_count() == 1:
+        return mesh
+    return Mesh(np.asarray(jax.local_devices()), (axis,))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     """Sharding that replicates a pytree's leaves on every device."""
     return NamedSharding(mesh, P())

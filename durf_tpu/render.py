@@ -22,6 +22,7 @@ import numpy as np
 from durf_tpu import vis
 from durf_tpu.configs import load_config
 from durf_tpu.data.paths import interpolate_poses, spherical_path, spiral_path
+from durf_tpu import train as trainlib
 from durf_tpu.eval import restore_for_eval
 from durf_tpu.models import render_image
 from durf_tpu.parallel import replicate
@@ -46,6 +47,7 @@ def render_trajectory(
     )
     scene = dataset.scene
     alpha = float(make_alpha_schedule(config)(int(state.step)))
+    params = trainlib.params_for_render(state)
 
     box_poses = None
     if trajectory is not None:
@@ -87,7 +89,7 @@ def render_trajectory(
             "ts": jax.device_put(np.int32(timestep), replicate(mesh)),
         }
         render = lambda r: render_chunk(
-            state.params, r, dev["init"], dev["ext"], dev["ts"], jnp.asarray(alpha, jnp.float32)
+            params, r, dev["init"], dev["ext"], dev["ts"], jnp.asarray(alpha, jnp.float32)
         )
         out = render_image(render, rays, chunk=config.chunk)
         frame = np.clip(np.asarray(out["rgb"]), 0, 1)

@@ -35,7 +35,7 @@ from durf_tpu.data import device_data, get_dataset
 from durf_tpu.losses import compute_losses, weight_l2
 from durf_tpu.metrics import MetricsWriter, Throughput
 from durf_tpu.models import MipNerf, construct_model, render_image
-from durf_tpu.parallel import batch_sharding, make_mesh, replicate, shard_batch
+from durf_tpu.parallel import batch_sharding, eval_mesh, make_mesh, replicate, shard_batch
 
 
 @struct.dataclass
@@ -89,11 +89,21 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     # reference's 1-indexed loop uses lr(1) there (train_boxpose.py:420,425),
     # and lr(max_steps) — not lr(max_steps - 1) — on the final update.
     tx = optax.adam(learning_rate=lambda count: lr_fn(count + 1))
-    if config.pose_lr_mult != 1.0:
+    delay, ramp = config.pose_lr_delay_steps, max(config.pose_lr_ramp_steps, 1)
+    if config.pose_lr_mult != 1.0 or delay > 0:
+
+        def pose_scale(count):
+            # 1-indexed like the schedules above; 0 until the delay, then a
+            # linear ramp to pose_lr_mult (see configs.pose_lr_delay_steps).
+            step = count + 1
+            gate = jnp.clip((step - delay) / ramp, 0.0, 1.0) if delay > 0 else 1.0
+            return config.pose_lr_mult * gate
+
         tx = optax.chain(
             tx,
             optax.masked(
-                optax.scale(config.pose_lr_mult),
+                # scale_by_learning_rate flips the sign; plain schedule scale.
+                optax.scale_by_schedule(pose_scale),
                 lambda params: jax.tree.map_with_path(
                     lambda path, _: any(
                         getattr(k, "key", None) == "box_centers" for k in path
@@ -271,7 +281,7 @@ def make_render_fn(model: MipNerf, config: Config, mesh):
         )[-1]
         return {"rgb": out["rgb"], "depth": out["depth"], "acc": out["acc"]}
 
-    return jax.jit(
+    jitted = jax.jit(
         render_chunk,
         in_shardings=(
             replicate(mesh),  # params
@@ -282,6 +292,28 @@ def make_render_fn(model: MipNerf, config: Config, mesh):
             replicate(mesh),  # alpha
         ),
     )
+    if jax.process_count() == 1:
+        return jitted
+
+    # Multiprocess runtimes refuse numpy jit inputs with non-replicated
+    # shardings even on a host-local mesh — place the ray chunks explicitly.
+    bshard = batch_sharding(mesh)
+
+    def call(params, rays, init_boxes, ext, ts, alpha):
+        rays = jax.tree.map(lambda x: jax.device_put(np.asarray(x), bshard), rays)
+        return jitted(params, rays, init_boxes, ext, ts, alpha)
+
+    return call
+
+
+def params_for_render(state):
+    """Params for the eval-mesh renderer: the live (global-mesh) arrays in
+    single-process runs; a host-local copy under multihost, because the
+    render jit runs on the HOST-LOCAL eval_mesh (see parallel.eval_mesh) and
+    cannot consume arrays committed to the cross-host training mesh."""
+    if jax.process_count() == 1:
+        return state.params
+    return jax.device_get(state.params)
 
 
 def evaluate_image(render_chunk, params, test_case, alpha, chunk: int):
@@ -362,7 +394,8 @@ def run_training(
         log_fn(f"device-resident data: {device_data.pool_bytes(dataset) >> 20} MiB of pools")
     else:
         train_step = jax.jit(step_body, donate_argnums=(0,))
-    render_chunk = make_render_fn(model, config, mesh)
+    rmesh = eval_mesh(mesh)  # host-local under multihost (device_put'd chunks)
+    render_chunk = make_render_fn(model, config, rmesh)
     alpha_fn = make_alpha_schedule(config)
 
     is_host0 = jax.process_index() == 0
@@ -421,14 +454,14 @@ def run_training(
             t0 = time.time()
             test_case = next(test_dataset)
             test_dev = {
-                k: jax.device_put(np.asarray(v), replicate(mesh))
+                k: jax.device_put(np.asarray(v), replicate(rmesh))
                 for k, v in test_case.items()
                 if k != "rays"
             }
             test_dev["rays"] = test_case["rays"]
             out = evaluate_image(
                 render_chunk,
-                state.params,
+                params_for_render(state),
                 test_dev,
                 float(alpha_fn(step + 1)),
                 chunk=config.chunk,

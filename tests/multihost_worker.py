@@ -74,6 +74,39 @@ def worker_loss(global_batch: int = 32) -> float:
     state = jax.device_put(state, replicate(mesh))
     step = jax.jit(trainlib.make_train_step(model, config, tx, jax.random.key(1)))
     new_state, stats = step(state, batch_dev)
+
+    # Eval/render path under multihost: the renderer runs on the HOST-LOCAL
+    # eval_mesh with a host-local params copy (parallel.eval_mesh,
+    # train.params_for_render) — device_put'd image chunks cannot address
+    # another host's devices.
+    from durf_tpu.parallel import eval_mesh
+
+    rmesh = eval_mesh(mesh)
+    assert rmesh.devices.size == jax.local_device_count(), rmesh
+    render_chunk = trainlib.make_render_fn(model, config, rmesh)
+    rays_img = jax.tree.map(
+        lambda x: np.asarray(x).reshape((4, global_batch // 4) + x.shape[1:]),
+        batch["rays"],
+    )
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rrep = NamedSharding(rmesh, PartitionSpec())
+    test_case = {
+        "rays": rays_img,
+        "init": jax.device_put(np.asarray(batch["init"]), rrep),
+        "ext": jax.device_put(np.asarray(batch["ext"]), rrep),
+        "ts": jax.device_put(np.asarray(batch["ts"]), rrep),
+    }
+    out = trainlib.evaluate_image(
+        render_chunk,
+        trainlib.params_for_render(new_state),
+        test_case,
+        alpha=float(config.model.max_deg_point),
+        chunk=16,
+    )
+    assert out["rgb"].shape == (4, global_batch // 4, 3), out["rgb"].shape
+    assert np.isfinite(out["rgb"]).all()
+    print(f"MULTIHOST_EVAL {jax.process_index()} ok", flush=True)
     return float(jax.device_get(stats["train/loss"]))
 
 

@@ -157,3 +157,12 @@ def test_multihost_two_process_train_step(tmp_path):
     # Identical global loss on both hosts, matching the single-process mesh.
     np.testing.assert_allclose(losses[0], losses[1], atol=1e-6)
     np.testing.assert_allclose(losses[0], expect, atol=1e-5)
+    # Both hosts also rendered a full image through the host-local eval mesh
+    # (parallel.eval_mesh + train.params_for_render).
+    evals = [
+        line.split()[1]
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("MULTIHOST_EVAL")
+    ]
+    assert sorted(evals) == ["0", "1"], outs

@@ -210,3 +210,34 @@ def test_c2f_factor_index_matches_host_schedule():
         expect = factors.index(host._current_factor())
         got = int(device_data.c2f_factor_index(step_1idx, c2f_steps, len(factors)))
         assert got == expect, (step_1idx, got, expect)
+
+
+def test_pose_lr_delay_gates_pose_updates():
+    """pose_lr_delay_steps: box_centers updates are 0 before the delay, ramp
+    to pose_lr_mult after; other params update from step one."""
+    import jax.numpy as jnp
+    import optax
+
+    from durf_tpu.train import make_optimizer
+
+    cfg = tiny_train_config()
+    cfg.pose_lr_mult = 0.5
+    cfg.pose_lr_delay_steps = 3
+    cfg.pose_lr_ramp_steps = 2
+    tx = make_optimizer(cfg)
+
+    params = {"box_centers": jnp.ones((2, 1, 6)), "mlp": {"w": jnp.ones((4, 4))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+
+    pose_mags, mlp_mags = [], []
+    for _ in range(6):
+        updates, state = tx.update(grads, state, params)
+        pose_mags.append(float(jnp.abs(updates["box_centers"]).max()))
+        mlp_mags.append(float(jnp.abs(updates["mlp"]["w"]).max()))
+
+    # 1-indexed steps 1..6 with delay 3, ramp 2: gates 0, 0, 0, 1/2, 1, 1.
+    assert pose_mags[0] == 0.0 and pose_mags[1] == 0.0 and pose_mags[2] == 0.0
+    assert pose_mags[3] > 0.0 and pose_mags[4] > pose_mags[3] * 1.5
+    assert abs(pose_mags[5] / mlp_mags[5] - cfg.pose_lr_mult) < 0.05 * cfg.pose_lr_mult
+    assert all(m > 0 for m in mlp_mags)
