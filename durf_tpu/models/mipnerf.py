@@ -127,12 +127,13 @@ class MipNerf(nn.Module):
 
             # One vmapped module = one batched matmul stack over all objects
             # (replaces the reference's python loop over BoxMLP_i).
-            # in_axes=(0, None): per-object encoded samples, shared view
-            # condition (identical across objects — no need to materialize an
-            # [N_obj, B, F] broadcast).
+            # in_axes=(None, None, 0, None): SHARED encoded samples and view
+            # condition, a per-object 0/1 gate column, a shared constant fill
+            # row — the per-object masked features are blended inside the
+            # Pallas kernel and never materialized (see NerfMLP.gate).
             box_mlps = nn.vmap(
                 NerfMLP,
-                in_axes=(0, None),
+                in_axes=(None, None, 0, None),
                 out_axes=0,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
@@ -248,20 +249,30 @@ class MipNerf(nn.Module):
 
             if dynamics:
                 mean, cov = samples  # [B,S,3], cov [B,S,3] diag or [B,S,3,3]
-                # Stack per-object masked samples on a leading object axis.
                 hit_s = hit.T[..., None, None]  # [N_obj, B, 1, 1]
-                obj_mean = hit_s * mean[None]  # [N_obj, B, S, 3]
-                obj_cov = (hit_s if diag else hit_s[..., None]) * cov[None]
-                obj_enc = ops.windowed_ipe(
-                    (obj_mean, obj_cov),
-                    cfg.min_deg_point,
-                    cfg.max_deg_point,
-                    alpha,
+                # Per-object masked encode WITHOUT the per-object encode: the
+                # hit mask is exactly 0/1, so
+                #   windowed_ipe(hit*m, hit*cov) == hit*windowed_ipe(m, cov)
+                #                                   + (1-hit)*windowed_ipe(0, 0)
+                # bit-for-bit — the zero-sample encode is a CONSTANT vector.
+                # One encode over [B, S] replaces N_obj of them, and the
+                # [N_obj, B, S, 3] mean/cov broadcasts never materialize
+                # (profiled at ~8 ms/step of HBM-bound fusions at the
+                # flagship point; docs/DESIGN.md).
+                obj_kwargs = dict(
+                    min_deg=cfg.min_deg_point,
+                    max_deg=cfg.max_deg_point,
+                    alpha=alpha,
                     diag=diag,
                     safe=not cfg.fast_trig,
                     recurrent=cfg.recurrent_encode,
                 )
-                obj_rgb, obj_density = box_mlps(obj_enc, viewdirs_enc)
+                enc = ops.windowed_ipe((mean, cov), **obj_kwargs)  # [B, S, 63]
+                zeros3 = jnp.zeros((1, 1, 3), mean.dtype)
+                zcov = zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean.dtype)
+                c0 = ops.windowed_ipe((zeros3, zcov), **obj_kwargs)  # [1, 1, F]
+                gate = hit.T[..., None]  # [N_obj, B, 1]
+                obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0)
                 obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
                 obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
 

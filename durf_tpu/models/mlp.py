@@ -64,13 +64,32 @@ class NerfMLP(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     pallas_tile: int = 2048
+    # Blend gate*x + (1-gate)*fill inside the Pallas kernel instead of in XLA.
+    # Measured SLOWER at the flagship point (11.29M vs 11.55M ray-samples/s:
+    # the vmapped kernel re-reads the shared features per object and writes
+    # per-object dx), but it avoids materializing the [N_obj*N, F] blend — a
+    # lever for scenes with many objects.
+    pallas_gate_in_kernel: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, condition: Optional[jax.Array] = None):
+    def __call__(
+        self,
+        x: jax.Array,
+        condition: Optional[jax.Array] = None,
+        gate: Optional[jax.Array] = None,
+        fill: Optional[jax.Array] = None,
+    ):
         """Args:
           x: [..., S, F] encoded sample features.
           condition: [..., F_c] encoded view directions (no sample axis; it is
             broadcast across samples).
+          gate: optional [..., 1] 0/1 mask (no sample axis; broadcast like the
+            condition). The effective input is gate*x + (1-gate)*fill — on the
+            Pallas path the blend happens IN-KERNEL so the gated features are
+            never materialized (the scene-graph object masking,
+            models/mipnerf.py).
+          fill: [1, 1, F] constant row used where gate == 0 (required with
+            gate).
 
         Returns:
           (raw_rgb [..., S, 3], raw_density [..., S, 1]) in float32.
@@ -106,8 +125,8 @@ class NerfMLP(nn.Module):
             head_width = cfg.net_width_condition
         weights += list(_DenseParams(cfg.num_rgb_channels, name="rgb_head")(head_width))
 
-        # Flatten [..., S, F] -> [N, F]; broadcast the per-ray condition over
-        # samples.
+        # Flatten [..., S, F] -> [N, F]; broadcast the per-ray condition (and
+        # the optional gate) over samples.
         batch_shape = x.shape[:-1]
         flat_x = x.reshape(-1, in_dim)
         if condition is not None:
@@ -116,6 +135,11 @@ class NerfMLP(nn.Module):
             ).reshape(-1, cond_dim)
         else:
             cond_b = jnp.zeros((flat_x.shape[0], 0), flat_x.dtype)
+        if gate is not None:
+            gate_b = jnp.broadcast_to(
+                gate[..., None, :], batch_shape + (1,)
+            ).reshape(-1, 1)
+            fill_row = fill.reshape(1, in_dim)
 
         from durf_tpu.ops.pallas import fused_mlp as fk
 
@@ -124,15 +148,31 @@ class NerfMLP(nn.Module):
             # Feed the kernel in compute dtype: the convert fuses into the
             # producing encode fusion (no separate cast pass at the custom-
             # call boundary) and halves the [N, F] HBM traffic under bf16.
-            raw_rgb, raw_density = fk.fused_nerf_mlp(
-                flat_x.astype(self.compute_dtype),
-                cond_b.astype(self.compute_dtype),
-                weights,
-                cfg,
-                self.pallas_tile,
-                interpret,
-            )
+            if gate is not None and self.pallas_gate_in_kernel:
+                raw_rgb, raw_density = fk.fused_nerf_mlp_gated(
+                    flat_x.astype(self.compute_dtype),
+                    gate_b,
+                    fill_row.astype(self.compute_dtype),
+                    cond_b.astype(self.compute_dtype),
+                    weights,
+                    cfg,
+                    self.pallas_tile,
+                    interpret,
+                )
+            else:
+                if gate is not None:
+                    flat_x = gate_b * flat_x + (1.0 - gate_b) * fill_row
+                raw_rgb, raw_density = fk.fused_nerf_mlp(
+                    flat_x.astype(self.compute_dtype),
+                    cond_b.astype(self.compute_dtype),
+                    weights,
+                    cfg,
+                    self.pallas_tile,
+                    interpret,
+                )
         else:
+            if gate is not None:
+                flat_x = gate_b * flat_x + (1.0 - gate_b) * fill_row
             raw_rgb, raw_density = fk.mlp_reference_forward(
                 cfg,
                 flat_x,

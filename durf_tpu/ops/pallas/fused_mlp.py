@@ -188,6 +188,28 @@ def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = 
     return _fused_forward(x, cond, list(weights), config, tile, interpret)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_nerf_mlp_gated(x, gate, fill, cond, weights, config, tile: int = 512, interpret: bool = False):
+    """Fused MLP whose input is gated IN-TILE: x_eff = gate*x + (1-gate)*fill.
+
+    The dynamic scene graph evaluates each object MLP on masked samples
+    (mipnerf.py object branch): for a 0/1 hit mask the masked encode equals
+    `gate * enc + (1 - gate) * c0` with a constant zero-sample row c0.
+    Blending inside the kernel means the [N_obj, N, F] blended features are
+    NEVER materialized in HBM — the (vmapped) kernel reads the SHARED [N, F]
+    features plus a [N, 1] gate column per object.
+
+    Args:
+      x: [N, F_in] shared encoded samples.
+      gate: [N, 1] 0/1 mask column.
+      fill: [1, F_in] constant row used where gate == 0.
+      cond, weights, config, tile, interpret: as fused_nerf_mlp.
+    """
+    return _fused_forward(
+        x, cond, list(weights), config, tile, interpret, gate=gate, fill=fill
+    )
+
+
 def _as_2d(weights):
     """Biases as [1, W]: keeps every kernel operand 2-D so blocks stay legal
     under vmap's extra leading axis (Mosaic requires the last two block dims
@@ -195,19 +217,32 @@ def _as_2d(weights):
     return [w if w.ndim == 2 else w[None] for w in weights]
 
 
-def _fused_forward(x, cond, weights, config, tile, interpret):
+def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=None):
     weights = _as_2d(weights)
     n, in_dim = x.shape
     n_pad = _round_up(max(n, tile), tile)
+    gated = gate is not None
     if n_pad != n:
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
         cond = jnp.pad(cond, ((0, n_pad - n), (0, 0)))
+        if gated:
+            gate = jnp.pad(gate, ((0, n_pad - n), (0, 0)))
     grid = n_pad // tile
 
-    def kernel(x_ref, cond_ref, *refs):
+    def kernel(x_ref, *refs):
+        if gated:
+            gate_ref, fill_ref, cond_ref = refs[0], refs[1], refs[2]
+            refs = refs[3:]
+        else:
+            cond_ref = refs[0]
+            refs = refs[1:]
         w_refs, (rgb_ref, den_ref) = refs[:-2], refs[-2:]
+        x_t = x_ref[:]
+        if gated:
+            g = gate_ref[:]
+            x_t = (g * x_t + (1.0 - g) * fill_ref[:]).astype(x_t.dtype)
         rgb, den = _forward_tile(
-            config, in_dim, x_ref[:], cond_ref[:], [w[:] for w in w_refs]
+            config, in_dim, x_t, cond_ref[:], [w[:] for w in w_refs]
         )
         rgb_ref[:] = rgb
         den_ref[:] = den
@@ -215,12 +250,22 @@ def _fused_forward(x, cond, weights, config, tile, interpret):
     # Weights use constant index maps: fetched into VMEM once, reused by every
     # grid step (small enough: ~1.2 MB in bf16 for the 8x256 trunk).
     w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in weights]
+    gate_specs = (
+        [
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec(fill.shape, lambda i: (0, 0)),
+        ]
+        if gated
+        else []
+    )
+    gate_args = (gate, fill) if gated else ()
 
     rgb, density = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            *gate_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
             *w_specs,
         ],
@@ -236,7 +281,7 @@ def _fused_forward(x, cond, weights, config, tile, interpret):
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(x, cond, *weights)
+    )(x, *gate_args, cond, *weights)
     return rgb[:n], density[:n]
 
 
@@ -255,6 +300,11 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
     stays VMEM-resident across the sequential grid and flushes once.
     """
     x, cond, weights = residuals
+    return _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads)
+
+
+def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None, fill=None):
+    gated = gate is not None
     weights_2d = _as_2d(weights)
     g_rgb, g_den = grads
     n, in_dim = x.shape
@@ -272,29 +322,62 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
         pad = ((0, n_pad - n), (0, 0))
         x, cond = jnp.pad(x, pad), jnp.pad(cond, pad)
         g_rgb, g_den = jnp.pad(g_rgb, pad), jnp.pad(g_den, pad)
+        if gated:
+            gate = jnp.pad(gate, pad)
     grid = n_pad // tile
     n_w = len(weights)
 
-    def kernel(x_ref, cond_ref, grgb_ref, gden_ref, *refs):
+    def kernel(x_ref, *refs):
+        if gated:
+            gate_ref, fill_ref = refs[0], refs[1]
+            refs = refs[2:]
+        cond_ref, grgb_ref, gden_ref = refs[0], refs[1], refs[2]
+        refs = refs[3:]
         w_refs = refs[:n_w]
-        dx_ref, dcond_ref = refs[n_w], refs[n_w + 1]
-        dw_refs = refs[n_w + 2 :]
+        refs = refs[n_w:]
+        dx_ref = refs[0]
+        if gated:
+            dgate_ref, dfill_ref = refs[1], refs[2]
+            refs = refs[3:]
+        else:
+            refs = refs[1:]
+        dcond_ref = refs[0]
+        dw_refs = refs[1:]
 
-        def fwd(x_, c_, ws):
-            return _forward_tile(
-                config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16
+        if gated:
+
+            def fwd(x_, g_, fill_, c_, ws):
+                xe = (g_ * x_ + (1.0 - g_) * fill_).astype(x_.dtype)
+                return _forward_tile(
+                    config, in_dim, xe, c_, ws, act_dtype=jnp.bfloat16
+                )
+
+            _, vjp = jax.vjp(
+                fwd, x_ref[:], gate_ref[:], fill_ref[:], cond_ref[:], [w[:] for w in w_refs]
             )
+            dx, dgate, dfill, dcond, dws = vjp((grgb_ref[:], gden_ref[:]))
+            dgate_ref[:] = dgate
+        else:
 
-        _, vjp = jax.vjp(fwd, x_ref[:], cond_ref[:], [w[:] for w in w_refs])
-        dx, dcond, dws = vjp((grgb_ref[:], gden_ref[:]))
+            def fwd(x_, c_, ws):
+                return _forward_tile(
+                    config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16
+                )
+
+            _, vjp = jax.vjp(fwd, x_ref[:], cond_ref[:], [w[:] for w in w_refs])
+            dx, dcond, dws = vjp((grgb_ref[:], gden_ref[:]))
         dx_ref[:] = dx
         dcond_ref[:] = dcond
 
         @pl.when(pl.program_id(0) == 0)
         def _():
+            if gated:
+                dfill_ref[:] = jnp.zeros_like(dfill_ref)
             for r in dw_refs:
                 r[:] = jnp.zeros_like(r)
 
+        if gated:
+            dfill_ref[:] += dfill.astype(jnp.float32)
         for r, dw in zip(dw_refs, dws):
             r[:] += dw.astype(jnp.float32)
 
@@ -302,12 +385,38 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
     # handles 1-D lane-aligned blocks; keep native shapes.
     w_specs = [pl.BlockSpec(w.shape, lambda i: (0, 0)) for w in weights_2d]
     dw_specs = list(w_specs)
+    gate_in_specs = (
+        [
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec(fill.shape, lambda i: (0, 0)),
+        ]
+        if gated
+        else []
+    )
+    gate_out_specs = (
+        [
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec(fill.shape, lambda i: (0, 0)),
+        ]
+        if gated
+        else []
+    )
+    gate_args = (gate, fill) if gated else ()
+    gate_out_shapes = (
+        [
+            jax.ShapeDtypeStruct((n_pad, 1), gate.dtype),
+            jax.ShapeDtypeStruct(fill.shape, jnp.float32),
+        ]
+        if gated
+        else []
+    )
 
-    dx, dcond, *dweights = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            *gate_in_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
             pl.BlockSpec((tile, g_rgb.shape[-1]), lambda i: (i, 0)),
             pl.BlockSpec((tile, g_den.shape[-1]), lambda i: (i, 0)),
@@ -315,6 +424,7 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
         ],
         out_specs=[
             pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            *gate_out_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
             *dw_specs,
         ],
@@ -322,6 +432,7 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
             # Input cotangents carry the input dtypes (custom_vjp contract;
             # x/cond may arrive in bf16 from the encode fusion).
             jax.ShapeDtypeStruct((n_pad, in_dim), x.dtype),
+            *gate_out_shapes,
             jax.ShapeDtypeStruct((n_pad, cond.shape[-1]), cond.dtype),
             *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights_2d],
         ],
@@ -329,15 +440,38 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(x, cond, g_rgb, g_den, *weights_2d)
+    )(x, *gate_args, cond, g_rgb, g_den, *weights_2d)
+    if gated:
+        dx, dgate, dfill, dcond, *dweights = outs
+    else:
+        dx, dcond, *dweights = outs
     # Bias grads come back [1, W]; match the original [W] structure.
     dweights = [
         dw if w.ndim == 2 else dw[0] for dw, w in zip(dweights, weights)
     ]
+    if gated:
+        return dx[:n], dgate[:n], dfill.astype(fill.dtype), dcond[:n], dweights
     return dx[:n], dcond[:n], dweights
 
 
 fused_nerf_mlp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _fused_gated_fwd(x, gate, fill, cond, weights, config, tile, interpret):
+    out = _fused_forward(
+        x, cond, list(weights), config, tile, interpret, gate=gate, fill=fill
+    )
+    return out, (x, gate, fill, cond, list(weights))
+
+
+def _fused_gated_bwd(config, tile, interpret, residuals, grads):
+    x, gate, fill, cond, weights = residuals
+    return _fused_bwd_impl(
+        config, tile, interpret, x, cond, weights, grads, gate=gate, fill=fill
+    )
+
+
+fused_nerf_mlp_gated.defvjp(_fused_gated_fwd, _fused_gated_bwd)
 
 
 def _forward_tile_ref_semantics(config, in_dim, x, cond, weights):

@@ -430,3 +430,30 @@ def test_recurrent_encode_matches_direct(dyn_model):
     b = model_r.apply(variables, rng=jax.random.key(1), **kwargs)
     np.testing.assert_allclose(np.asarray(a[-1]["rgb"]), np.asarray(b[-1]["rgb"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a[-1]["depth"]), np.asarray(b[-1]["depth"]), atol=1e-3)
+
+
+def test_masked_encode_constant_trick_bit_exact():
+    """The model's per-object encode shortcut: windowed_ipe(hit*m, hit*cov)
+    == hit*windowed_ipe(m, cov) + (1-hit)*windowed_ipe(0, 0) bit-for-bit for
+    a 0/1 hit mask (models/mipnerf.py object branch)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from durf_tpu import ops
+
+    rng = np.random.default_rng(3)
+    b, s, n_obj = 6, 5, 2
+    mean = jnp.asarray(rng.normal(size=(b, s, 3)), jnp.float32)
+    cov = jnp.asarray(rng.uniform(0.0, 0.3, size=(b, s, 3)), jnp.float32)
+    hit = jnp.asarray(rng.integers(0, 2, size=(b, n_obj)), jnp.float32)
+    hit_s = hit.T[..., None, None]
+
+    for recurrent in (False, True):
+        kw = dict(min_deg=0, max_deg=6, alpha=4.5, diag=True, recurrent=recurrent)
+        old = ops.windowed_ipe((hit_s * mean[None], hit_s * cov[None]), **kw)
+        enc = ops.windowed_ipe((mean, cov), **kw)
+        c0 = ops.windowed_ipe(
+            (jnp.zeros((1, 1, 3)), jnp.zeros((1, 1, 3))), **kw
+        )
+        new = hit_s * enc[None] + (1.0 - hit_s) * c0[None]
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))

@@ -79,3 +79,31 @@ def test_kernel_gradients_match_flax(setup):
     np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_f), atol=5e-2, rtol=1e-2)
     for a, b in zip(gw, gw_f):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=8e-2, rtol=2e-2)
+
+
+def test_gated_kernel_matches_explicit_blend(setup):
+    """fused_nerf_mlp_gated == blend-then-fused_nerf_mlp, values and grads."""
+    from durf_tpu.ops.pallas.fused_mlp import fused_nerf_mlp_gated
+
+    cfg, x, cond, mlp, variables, weights = setup
+    rng = np.random.default_rng(5)
+    gate = jnp.asarray(rng.integers(0, 2, size=(x.shape[0], 1)), jnp.float32)
+    fill = jnp.asarray(rng.normal(size=(1, x.shape[1])), jnp.float32)
+
+    def loss_gated(w, x_, g_, f_):
+        rgb, den = fused_nerf_mlp_gated(x_, g_, f_, cond, w, cfg, 32, True)
+        return jnp.sum(rgb**2) + jnp.sum(den**2)
+
+    def loss_blend(w, x_, g_, f_):
+        xe = g_ * x_ + (1.0 - g_) * f_
+        rgb, den = fused_nerf_mlp(xe, cond, w, cfg, 32, True)
+        return jnp.sum(rgb**2) + jnp.sum(den**2)
+
+    va = loss_gated(weights, x, gate, fill)
+    vb = loss_blend(weights, x, gate, fill)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-4)
+
+    ga = jax.grad(loss_gated, argnums=(0, 1, 2, 3))(weights, x, gate, fill)
+    gb = jax.grad(loss_blend, argnums=(0, 1, 2, 3))(weights, x, gate, fill)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=2e-2)
