@@ -90,6 +90,13 @@ class ModelConfig:
     # IPE basis (the only basis used), and avoids hauling [B,S,3,3] tensors
     # through forward+backward. False restores the reference's full-cov path.
     diag_covariance: bool = True
+    # Coordinate-major sample pipeline (diag only): means/covs flow as
+    # [3, B, S] planes instead of [B, S, 3] rows. XLA stores [N, 3] arrays
+    # padded to (8, 128) tiles — 3 of 128 lanes used — so every elementwise
+    # op on row-major coordinates moves ~42x the logical HBM bytes (measured
+    # ~17 ms of an 87 ms flagship step; docs/DESIGN.md round-2 profile).
+    # Same values, dense tiles. False = row-major (always used for full cov).
+    coord_major: bool = True
     mlp: MLPConfig = field(default_factory=MLPConfig)
     box_mlp: MLPConfig = field(
         default_factory=lambda: MLPConfig(net_width=128)

@@ -133,7 +133,7 @@ class MipNerf(nn.Module):
             # Pallas kernel and never materialized (see NerfMLP.gate).
             box_mlps = nn.vmap(
                 NerfMLP,
-                in_axes=(None, None, 0, None),
+                in_axes=(None, None, 0, None, None),
                 out_axes=0,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
@@ -169,6 +169,9 @@ class MipNerf(nn.Module):
         # Diagonal-covariance pipeline (exact for the power-of-two axis-
         # aligned IPE basis; see ops/contraction.py and docs/DESIGN.md).
         diag = cfg.diag_covariance
+        # Coordinate-major samples: [3, B, S] planes with dense (8, 128)
+        # tiles instead of 3-of-128-lane [B, S, 3] rows (configs.coord_major).
+        cm = diag and cfg.coord_major
 
         ret: List[Dict[str, Any]] = []
         t_vals = None
@@ -211,8 +214,12 @@ class MipNerf(nn.Module):
                             key, bins, occ, cfg.num_samples + 1, randomized
                         )
                     )
-                    samples = ops.cast_rays(
-                        t_vals, origins_s, dirs_s, rays.radii, cfg.ray_shape, diag
+                    samples = (
+                        ops.cast_rays_cm(t_vals, origins_s, dirs_s, rays.radii, cfg.ray_shape)
+                        if cm
+                        else ops.cast_rays(
+                            t_vals, origins_s, dirs_s, rays.radii, cfg.ray_shape, diag
+                        )
                     )
                 else:
                     t_vals, samples = ops.sample_along_rays(
@@ -227,6 +234,7 @@ class MipNerf(nn.Module):
                         cfg.lindisp,
                         cfg.ray_shape,
                         diag=diag,
+                        cm=cm,
                     )
             else:
                 t_vals, samples = ops.resample_along_rays(
@@ -241,6 +249,7 @@ class MipNerf(nn.Module):
                     cfg.stop_level_grad,
                     cfg.resample_padding,
                     diag=diag,
+                    cm=cm,
                 )
 
             raw_mean = samples[0]  # composite-ray positions, pre-masking
@@ -263,16 +272,23 @@ class MipNerf(nn.Module):
                     min_deg=cfg.min_deg_point,
                     max_deg=cfg.max_deg_point,
                     alpha=alpha,
-                    diag=diag,
                     safe=not cfg.fast_trig,
                     recurrent=cfg.recurrent_encode,
                 )
-                enc = ops.windowed_ipe((mean, cov), **obj_kwargs)  # [B, S, 63]
-                zeros3 = jnp.zeros((1, 1, 3), mean.dtype)
-                zcov = zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean.dtype)
-                c0 = ops.windowed_ipe((zeros3, zcov), **obj_kwargs)  # [1, 1, F]
+                if cm:
+                    enc = ops.windowed_ipe_cm(mean, cov, **obj_kwargs)
+                    c0 = ops.windowed_ipe_cm(
+                        jnp.zeros((3, 1, 1), mean.dtype),
+                        jnp.zeros((3, 1, 1), mean.dtype),
+                        **obj_kwargs,
+                    )
+                else:
+                    zeros3 = jnp.zeros((1, 1, 3), mean.dtype)
+                    zcov = zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean.dtype)
+                    enc = ops.windowed_ipe((mean, cov), diag=diag, **obj_kwargs)
+                    c0 = ops.windowed_ipe((zeros3, zcov), diag=diag, **obj_kwargs)
                 gate = hit.T[..., None]  # [N_obj, B, 1]
-                obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0)
+                obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm)
                 obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
                 obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
 
@@ -281,27 +297,44 @@ class MipNerf(nn.Module):
                 # two boxes, flipping the covariance negative and blowing up
                 # exp(+|y_var|) in the IPE to inf (latent NaN in reference
                 # obbpose_model.py:205; see docs/DEFECTS.md).
-                bkgd_mask = lax.stop_gradient(
-                    jnp.maximum(0.0, 1.0 - hit.sum(axis=-1))[:, None, None]
-                )  # [B, 1, 1]
-                samples = (
-                    bkgd_mask * mean,
-                    (bkgd_mask if diag else bkgd_mask[..., None]) * cov,
-                )
+                bkgd = lax.stop_gradient(jnp.maximum(0.0, 1.0 - hit.sum(axis=-1)))
+                if cm:
+                    bkgd_mask = bkgd[None, :, None]  # [1, B, 1] over [3, B, S]
+                    samples = (bkgd_mask * mean, bkgd_mask * cov)
+                else:
+                    bkgd_mask = bkgd[:, None, None]  # [B, 1, 1]
+                    samples = (
+                        bkgd_mask * mean,
+                        (bkgd_mask if diag else bkgd_mask[..., None]) * cov,
+                    )
 
             if cfg.contraction:
-                contract_fn = ops.contract_gaussian_diag if diag else ops.contract_gaussian
-                samples = contract_fn(*samples, threshold=cfg.contract_threshold)
-            samples_enc = ops.integrated_pos_enc(
-                samples,
-                cfg.min_deg_point,
-                cfg.max_deg_point,
-                diag=diag,
-                safe=not cfg.fast_trig,
-                recurrent=cfg.recurrent_encode,
-            )
+                if diag:
+                    samples = ops.contract_gaussian_diag(
+                        *samples, threshold=cfg.contract_threshold, axis=0 if cm else -1
+                    )
+                else:
+                    samples = ops.contract_gaussian(*samples, threshold=cfg.contract_threshold)
+            if cm:
+                samples_enc = ops.integrated_pos_enc_cm(
+                    samples[0],
+                    samples[1],
+                    cfg.min_deg_point,
+                    cfg.max_deg_point,
+                    safe=not cfg.fast_trig,
+                    recurrent=cfg.recurrent_encode,
+                )
+            else:
+                samples_enc = ops.integrated_pos_enc(
+                    samples,
+                    cfg.min_deg_point,
+                    cfg.max_deg_point,
+                    diag=diag,
+                    safe=not cfg.fast_trig,
+                    recurrent=cfg.recurrent_encode,
+                )
 
-            raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc)
+            raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc, x_feature_major=cm)
             if dynamics:
                 raw_rgb = raw_rgb + obj_rgbs
                 raw_density = raw_density + obj_densities
@@ -314,7 +347,10 @@ class MipNerf(nn.Module):
 
             # Contracted (unmasked) sample positions for the grid update.
             positions_c = (
-                ops.contract(raw_mean, threshold=cfg.contract_threshold)
+                ops.contract(
+                    jnp.moveaxis(raw_mean, 0, -1) if cm else raw_mean,
+                    threshold=cfg.contract_threshold,
+                )
                 if cfg.grid_sampling
                 else None
             )

@@ -78,9 +78,13 @@ class NerfMLP(nn.Module):
         condition: Optional[jax.Array] = None,
         gate: Optional[jax.Array] = None,
         fill: Optional[jax.Array] = None,
+        x_feature_major: bool = False,
     ):
         """Args:
-          x: [..., S, F] encoded sample features.
+          x: [..., S, F] encoded sample features — or FEATURE-MAJOR
+            [F, ..., S] with x_feature_major=True (the coordinate-major
+            encode's native layout; consumed via transposed-lhs dots so the
+            row-major [N, F] array is never assembled — docs/DESIGN.md).
           condition: [..., F_c] encoded view directions (no sample axis; it is
             broadcast across samples).
           gate: optional [..., 1] 0/1 mask (no sample axis; broadcast like the
@@ -97,7 +101,8 @@ class NerfMLP(nn.Module):
         cfg = self.config
         if cfg.net_activation != "relu":
             raise NotImplementedError("fused/split MLP paths assume relu")
-        in_dim = x.shape[-1]
+        fm = x_feature_major
+        in_dim = x.shape[0] if fm else x.shape[-1]
         cond_dim = 0 if condition is None else condition.shape[-1]
 
         # Declare every layer's parameters (kernel order; skip concat and the
@@ -125,10 +130,10 @@ class NerfMLP(nn.Module):
             head_width = cfg.net_width_condition
         weights += list(_DenseParams(cfg.num_rgb_channels, name="rgb_head")(head_width))
 
-        # Flatten [..., S, F] -> [N, F]; broadcast the per-ray condition (and
-        # the optional gate) over samples.
-        batch_shape = x.shape[:-1]
-        flat_x = x.reshape(-1, in_dim)
+        # Flatten [..., S, F] -> [N, F] (or [F, ..., S] -> [F, N]); broadcast
+        # the per-ray condition (and the optional gate) over samples.
+        batch_shape = x.shape[1:] if fm else x.shape[:-1]
+        flat_x = x.reshape(in_dim, -1) if fm else x.reshape(-1, in_dim)
         if condition is not None:
             cond_b = jnp.broadcast_to(
                 condition[..., None, :], batch_shape + (cond_dim,)
@@ -139,7 +144,7 @@ class NerfMLP(nn.Module):
             gate_b = jnp.broadcast_to(
                 gate[..., None, :], batch_shape + (1,)
             ).reshape(-1, 1)
-            fill_row = fill.reshape(1, in_dim)
+            fill_row = fill.reshape(in_dim, 1) if fm else fill.reshape(1, in_dim)
 
         from durf_tpu.ops.pallas import fused_mlp as fk
 
@@ -148,7 +153,7 @@ class NerfMLP(nn.Module):
             # Feed the kernel in compute dtype: the convert fuses into the
             # producing encode fusion (no separate cast pass at the custom-
             # call boundary) and halves the [N, F] HBM traffic under bf16.
-            if gate is not None and self.pallas_gate_in_kernel:
+            if gate is not None and self.pallas_gate_in_kernel and not fm:
                 raw_rgb, raw_density = fk.fused_nerf_mlp_gated(
                     flat_x.astype(self.compute_dtype),
                     gate_b,
@@ -161,7 +166,8 @@ class NerfMLP(nn.Module):
                 )
             else:
                 if gate is not None:
-                    flat_x = gate_b * flat_x + (1.0 - gate_b) * fill_row
+                    g = gate_b[:, 0][None, :] if fm else gate_b
+                    flat_x = g * flat_x + (1.0 - g) * fill_row
                 raw_rgb, raw_density = fk.fused_nerf_mlp(
                     flat_x.astype(self.compute_dtype),
                     cond_b.astype(self.compute_dtype),
@@ -169,10 +175,12 @@ class NerfMLP(nn.Module):
                     cfg,
                     self.pallas_tile,
                     interpret,
+                    fm,
                 )
         else:
             if gate is not None:
-                flat_x = gate_b * flat_x + (1.0 - gate_b) * fill_row
+                g = gate_b[:, 0][None, :] if fm else gate_b
+                flat_x = g * flat_x + (1.0 - g) * fill_row
             raw_rgb, raw_density = fk.mlp_reference_forward(
                 cfg,
                 flat_x,
@@ -180,6 +188,7 @@ class NerfMLP(nn.Module):
                 weights,
                 has_condition=condition is not None,
                 dtype=self.compute_dtype,
+                x_fm=fm,
             )
         raw_rgb = raw_rgb.reshape(batch_shape + (cfg.num_rgb_channels,))
         raw_density = raw_density.reshape(batch_shape + (cfg.num_density_channels,))

@@ -7,15 +7,19 @@ internal/box_helpers.py.
 
 from durf_tpu.ops.frustum import (
     cast_rays,
+    cast_rays_cm,
     conical_frustum_to_gaussian,
     cylinder_to_gaussian,
     lift_gaussian,
+    lift_gaussian_cm,
 )
 from durf_tpu.ops.encoding import (
     expected_sin,
     integrated_pos_enc,
+    integrated_pos_enc_cm,
     pos_enc,
     windowed_ipe,
+    windowed_ipe_cm,
     windowed_pos_enc,
 )
 from durf_tpu.ops.sampling import resample_along_rays, sample_along_rays

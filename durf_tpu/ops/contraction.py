@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from durf_tpu import mathx
 
 
-def contract(x: jax.Array, threshold: float = 0.1) -> jax.Array:
+def contract(x: jax.Array, threshold: float = 0.1, axis: int = -1) -> jax.Array:
     """Contract unbounded points into a ball of radius 2.
 
     Identity for ||x|| <= threshold, (2 - 1/||x||) * x/||x|| beyond it
@@ -31,7 +31,7 @@ def contract(x: jax.Array, threshold: float = 0.1) -> jax.Array:
     identity inside the unit ball and a direction-preserving contraction
     into the radius-2 ball outside.
     """
-    x_norm = mathx.safe_norm(x)
+    x_norm = mathx.safe_norm(x, axis=axis)
     inside = (x_norm <= threshold).astype(x.dtype)
     contracted = (2.0 - jnp.nan_to_num(1.0 / x_norm)) * jnp.nan_to_num(x / x_norm)
     return inside * x + (1.0 - inside) * contracted
@@ -59,7 +59,7 @@ def contract_gaussian(mean: jax.Array, cov: jax.Array, threshold: float = 0.1):
     return mean_c, cov_c
 
 
-def contract_gaussian_diag(mean: jax.Array, cov_diag: jax.Array, threshold: float = 0.1):
+def contract_gaussian_diag(mean: jax.Array, cov_diag: jax.Array, threshold: float = 0.1, axis: int = -1):
     """Diagonal-covariance variant: diag(D Σ Dᵀ) = d² ⊙ diag(Σ).
 
     Exactly the diagonal of contract_gaussian's output — and since the whole
@@ -68,8 +68,10 @@ def contract_gaussian_diag(mean: jax.Array, cov_diag: jax.Array, threshold: floa
     approximation (see docs/DESIGN.md 'diagonal covariance').
 
     Args:
-      mean: [..., 3]; cov_diag: [..., 3].
+      mean: [..., 3]; cov_diag: [..., 3]. With axis=0 both may instead be
+      coordinate-major [3, ...] (the TPU-friendly layout — see
+      ops/frustum.py lift_gaussian_cm).
     """
-    fn = lambda m: contract(m, threshold)
+    fn = lambda m: contract(m, threshold, axis=axis)
     mean_c, d = jax.jvp(fn, (mean,), (jnp.ones_like(mean),))
     return mean_c, d * d * cov_diag

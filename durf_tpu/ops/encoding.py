@@ -162,6 +162,79 @@ def _ipe_features(x_coord, min_deg: int, max_deg: int, diag: bool, safe: bool = 
     )[0]
 
 
+def _ipe_pieces_cm(x, x_var, min_deg: int, max_deg: int, safe: bool, recurrent: bool):
+    """Coordinate-major IPE core: x, x_var [3, ...] -> (sin, cos) piece lists.
+
+    Each piece is one [...]-shaped feature plane, ordered (degree, dim) to
+    match the row-major layout [sin(deg, dim)..., cos(deg, dim)...]. The
+    arithmetic per element is identical to _ipe_features /
+    _ipe_features_recurrent — only the memory layout differs (full-lane
+    [B, S] planes instead of 3-of-128-lane [N, 3] tiles; see
+    ops/frustum.py lift_gaussian_cm for why this matters on TPU).
+    """
+    x_var = jnp.maximum(x_var, 0.0)
+    sin_p, cos_p = [], []
+    if recurrent:
+        _RESTART = 5
+        e = s = c = None
+        for i, deg in enumerate(range(min_deg, max_deg)):
+            if i % _RESTART == 0:
+                scale = 2.0**deg
+                e = jnp.exp((-0.5 * scale * scale) * x_var)
+                s = jnp.sin(scale * x)
+                c = jnp.cos(scale * x)
+            es, ec = e * s, e * c
+            for k in range(x.shape[0]):
+                sin_p.append(es[k])
+                cos_p.append(ec[k])
+            e2 = e * e
+            e = e2 * e2
+            s, c = 2.0 * s * c, c * c - s * s
+        return sin_p, cos_p
+    sinf = mathx.safe_sin if safe else jnp.sin
+    for deg in range(min_deg, max_deg):
+        scale = 2.0**deg
+        y = scale * x
+        att = jnp.exp(-0.5 * (scale * scale) * x_var)
+        fs, fc = att * sinf(y), att * sinf(y + 0.5 * jnp.pi)
+        for k in range(x.shape[0]):
+            sin_p.append(fs[k])
+            cos_p.append(fc[k])
+    return sin_p, cos_p
+
+
+def integrated_pos_enc_cm(
+    x, x_var, min_deg: int, max_deg: int, safe: bool = True, recurrent: bool = False
+) -> jax.Array:
+    """Coordinate-major IPE: ([3, ...] mean, [3, ...] var diag) -> [F, ...].
+
+    Same feature VALUES as integrated_pos_enc(diag=True) but FEATURE-MAJOR:
+    the feature axis leads. Stacking along axis 0 is a major-dim concat of
+    dense [B, S] planes (free); assembling [..., F] row-major instead was
+    measured at ~11 ms PER LEVEL at the flagship point (a 60-operand concat
+    of 3-of-128-lane columns — docs/DESIGN.md). The fused MLP consumes the
+    feature-major layout directly with a transposed-lhs dot."""
+    sin_p, cos_p = _ipe_pieces_cm(x, x_var, min_deg, max_deg, safe, recurrent)
+    return jnp.stack(sin_p + cos_p, axis=0)
+
+
+def windowed_ipe_cm(
+    x, x_var, min_deg: int, max_deg: int, alpha, safe: bool = True, recurrent: bool = False
+) -> jax.Array:
+    """Coordinate-major BARF-windowed IPE with the identity (mean) prepended:
+    the FEATURE-MAJOR [F, ...] counterpart of windowed_ipe(diag=True)."""
+    sin_p, cos_p = _ipe_pieces_cm(x, x_var, min_deg, max_deg, safe, recurrent)
+    dims = x.shape[0]
+    w = [
+        (1 - jnp.cos(jnp.clip(alpha - k, 0, 1) * jnp.pi)) / 2
+        for k in range(min_deg, max_deg)
+    ]
+    sin_p = [w[i // dims] * p for i, p in enumerate(sin_p)]
+    cos_p = [w[i // dims] * p for i, p in enumerate(cos_p)]
+    ident = [x[k] for k in range(dims)]
+    return jnp.stack(ident + sin_p + cos_p, axis=0)
+
+
 def integrated_pos_enc(
     x_coord, min_deg: int, max_deg: int, diag: bool = False, safe: bool = True,
     recurrent: bool = False,

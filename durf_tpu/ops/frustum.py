@@ -72,6 +72,57 @@ def cylinder_to_gaussian(d: jax.Array, t0: jax.Array, t1: jax.Array, radius: jax
     return lift_gaussian(d, t_mean, t_var, r_var, diag)
 
 
+def lift_gaussian_cm(d: jax.Array, t_mean: jax.Array, t_var: jax.Array, r_var: jax.Array):
+    """Coordinate-major diagonal lift: ([3, B, S] mean, [3, B, S] cov diag).
+
+    Same per-element arithmetic as lift_gaussian(diag=True) — the values are
+    bit-identical — but the coordinate axis leads instead of trailing. Why:
+    XLA lays [N, 3] arrays out as (8, 128) tiles with 3 of 128 lanes used, so
+    every elementwise op on row-major coordinates moves ~42x the logical
+    bytes through HBM (profiled at ~17 ms of an 87 ms flagship train step —
+    docs/DESIGN.md round-2 profile). With [3, B, S] the minor dim is the
+    sample axis and tiles are dense.
+    """
+    d_mag_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1))  # [B]
+    means, covs = [], []
+    for k in range(d.shape[-1]):
+        dk = d[..., k][..., None]  # [B, 1]
+        d_outer_diag = dk**2
+        null_outer_diag = 1 - d_outer_diag / d_mag_sq[..., None]
+        means.append(dk * t_mean)
+        covs.append(t_var * d_outer_diag + r_var * null_outer_diag)
+    return jnp.stack(means), jnp.stack(covs)
+
+
+def cast_rays_cm(
+    t_vals: jax.Array,
+    origins: jax.Array,
+    directions: jax.Array,
+    radii: jax.Array,
+    ray_shape: str = "cone",
+):
+    """Coordinate-major cast_rays (diagonal covariance only): the per-interval
+    Gaussians come back as ([3, B, S], [3, B, S]) and the [B, S, 3] row-major
+    arrays are never materialized (see lift_gaussian_cm)."""
+    t0 = t_vals[..., :-1]
+    t1 = t_vals[..., 1:]
+    if ray_shape == "cone":
+        mu = (t0 + t1) / 2
+        hw = (t1 - t0) / 2
+        denom = 3 * mu**2 + hw**2
+        t_mean = mu + (2 * mu * hw**2) / denom
+        t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / denom**2)
+        r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - (4 / 15) * (hw**4) / denom)
+    elif ray_shape == "cylinder":
+        t_mean = (t0 + t1) / 2
+        r_var = radii**2 / 4
+        t_var = (t1 - t0) ** 2 / 12
+    else:
+        raise ValueError(f"unknown ray_shape {ray_shape!r}")
+    means, covs = lift_gaussian_cm(directions, t_mean, t_var, r_var)
+    return means + origins.T[..., None], covs
+
+
 def cast_rays(
     t_vals: jax.Array,
     origins: jax.Array,

@@ -80,6 +80,51 @@ def _dot_bwd(dtype, res, g):
 _dot.defvjp(_dot_fwd, _dot_bwd)
 
 
+def _dot_t_impl(a_t, w, dtype):
+    # a_t [F, T] (feature-major), w [F, W] -> [T, W]; the MXU takes either
+    # operand order, so the transposed-lhs contraction costs the same.
+    return jax.lax.dot_general(
+        a_t.astype(dtype),
+        w.astype(dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dot_t(a_t, w, dtype=jnp.bfloat16):
+    """Feature-major-lhs MXU matmul with fp32 accumulation (see _dot)."""
+    return _dot_t_impl(a_t, w, dtype)
+
+
+def _dot_t_fwd(a_t, w, dtype):
+    return _dot_t_impl(a_t, w, dtype), (a_t, w)
+
+
+def _dot_t_bwd(dtype, res, g):
+    a_t, w = res
+    if jax.default_backend() == "cpu":
+        dtype = jnp.float32
+    g16 = g.astype(dtype)
+    da_t = jax.lax.dot_general(
+        w.astype(dtype),
+        g16,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # w @ g^T -> [F, T]
+        preferred_element_type=jnp.float32,
+    ).astype(a_t.dtype)
+    dw = jax.lax.dot_general(
+        a_t.astype(dtype),
+        g16,
+        dimension_numbers=(((1,), (0,)), ((), ())),  # a_t @ g -> [F, W]
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return da_t, dw
+
+
+_dot_t.defvjp(_dot_t_fwd, _dot_t_bwd)
+
+
 def _layer_dims(config, in_dim: int) -> list:
     """Input dim of every trunk layer (skip concat folded in)."""
     dims = []
@@ -113,24 +158,29 @@ def mlp_params_from_flax(params: Dict[str, Any], config) -> list:
     return ops
 
 
-def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None):
+def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None, x_fm: bool = False):
     """Run the full MLP on one [T, in_dim] tile (pure jnp; used inside the
     kernel so it lowers to MXU ops on VMEM values).
 
     act_dtype: optional storage dtype for post-relu activations. Every
     consumer matmul casts to `dtype` anyway, so storing relu outputs in bf16
     is numerically free on the forward; in the backward kernel it halves the
-    jax.vjp residual footprint in VMEM, which is what bounds the tile size."""
+    jax.vjp residual footprint in VMEM, which is what bounds the tile size.
+    x_fm: x arrives FEATURE-MAJOR [in_dim, T] (the coordinate-major encode's
+    native layout); the x-consuming matmuls contract its leading axis."""
     it = iter(weights)
     nxt = lambda: next(it)
-    h = x
+    dot_x = (lambda a, w: _dot_t(a, w, dtype)) if x_fm else (lambda a, w: _dot(a, w, dtype))
+    h = None
     for i in range(config.net_depth):
         k, b = nxt(), nxt()
-        if i > 0 and (i - 1) % config.skip_layer == 0 and (i - 1) > 0:
+        if i == 0:
+            h = dot_x(x, k) + b
+        elif (i - 1) % config.skip_layer == 0 and (i - 1) > 0:
             # h is conceptually concat(prev_h, x): split the weight rows.
             h = (
                 _dot(h, k[: config.net_width], dtype)
-                + _dot(x, k[config.net_width :], dtype)
+                + dot_x(x, k[config.net_width :])
                 + b
             )
         else:
@@ -163,29 +213,35 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
     return raw_rgb, raw_density
 
 
-def mlp_reference_forward(config, x, cond, weights, has_condition: bool = True, dtype=jnp.float32):
+def mlp_reference_forward(config, x, cond, weights, has_condition: bool = True, dtype=jnp.float32, x_fm: bool = False):
     """The XLA (non-Pallas) execution path: same split-matmul math on the
-    full [N, F] batch, with a configurable compute dtype."""
-    return _forward_tile(config, x.shape[-1], x, cond, weights, has_condition, dtype)
+    full [N, F] batch, with a configurable compute dtype. x_fm: x is
+    feature-major [F, N] (consumed via transposed-lhs dots, no transpose)."""
+    in_dim = x.shape[0] if x_fm else x.shape[-1]
+    return _forward_tile(config, in_dim, x, cond, weights, has_condition, dtype, x_fm=x_fm)
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = False, x_fm: bool = False):
     """Fused MLP forward: (raw_rgb [N, 3], raw_density [N, 1]).
 
     Args:
-      x: [N, F_in] encoded samples (N = rays * samples, any N).
+      x: [N, F_in] encoded samples (N = rays * samples, any N) — or
+        FEATURE-MAJOR [F_in, N] with x_fm=True (the coordinate-major
+        encode's native layout; consumed via transposed-lhs dots, so the
+        row-major features are never assembled).
       cond: [N, F_c] per-sample encoded view directions.
       weights: flat operand list from mlp_params_from_flax.
       config: MLPConfig (static).
       tile: samples per grid step (static; multiple of 8).
       interpret: run in interpreter mode (CPU testing).
+      x_fm: x is feature-major (static).
     """
-    return _fused_forward(x, cond, list(weights), config, tile, interpret)
+    return _fused_forward(x, cond, list(weights), config, tile, interpret, x_fm=x_fm)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -217,13 +273,14 @@ def _as_2d(weights):
     return [w if w.ndim == 2 else w[None] for w in weights]
 
 
-def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=None):
+def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=None, x_fm=False):
     weights = _as_2d(weights)
-    n, in_dim = x.shape
+    in_dim, n = x.shape if x_fm else x.shape[::-1]
     n_pad = _round_up(max(n, tile), tile)
     gated = gate is not None
+    assert not (gated and x_fm), "gated kernel is row-major only"
     if n_pad != n:
-        x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)) if x_fm else ((0, n_pad - n), (0, 0)))
         cond = jnp.pad(cond, ((0, n_pad - n), (0, 0)))
         if gated:
             gate = jnp.pad(gate, ((0, n_pad - n), (0, 0)))
@@ -242,7 +299,7 @@ def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=No
             g = gate_ref[:]
             x_t = (g * x_t + (1.0 - g) * fill_ref[:]).astype(x_t.dtype)
         rgb, den = _forward_tile(
-            config, in_dim, x_t, cond_ref[:], [w[:] for w in w_refs]
+            config, in_dim, x_t, cond_ref[:], [w[:] for w in w_refs], x_fm=x_fm
         )
         rgb_ref[:] = rgb
         den_ref[:] = den
@@ -264,7 +321,9 @@ def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=No
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((in_dim, tile), lambda i: (0, i))
+            if x_fm
+            else pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
             *gate_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
             *w_specs,
@@ -285,12 +344,12 @@ def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=No
     return rgb[:n], density[:n]
 
 
-def _fused_fwd(x, cond, weights, config, tile, interpret):
-    out = _fused_forward(x, cond, list(weights), config, tile, interpret)
+def _fused_fwd(x, cond, weights, config, tile, interpret, x_fm=False):
+    out = _fused_forward(x, cond, list(weights), config, tile, interpret, x_fm=x_fm)
     return out, (x, cond, list(weights))
 
 
-def _fused_bwd(config, tile, interpret, residuals, grads):
+def _fused_bwd(config, tile, interpret, x_fm, residuals, grads):
     """Recompute-in-tile backward kernel.
 
     Per grid step: re-run the tile's forward on VMEM values, jax.vjp it in
@@ -300,14 +359,15 @@ def _fused_bwd(config, tile, interpret, residuals, grads):
     stays VMEM-resident across the sequential grid and flushes once.
     """
     x, cond, weights = residuals
-    return _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads)
+    return _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, x_fm=x_fm)
 
 
-def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None, fill=None):
+def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None, fill=None, x_fm=False):
     gated = gate is not None
+    assert not (gated and x_fm), "gated kernel is row-major only"
     weights_2d = _as_2d(weights)
     g_rgb, g_den = grads
-    n, in_dim = x.shape
+    in_dim, n = x.shape if x_fm else x.shape[::-1]
     # The backward tile holds the recomputed activations AND the vjp
     # residuals in VMEM. Residuals are stashed in bf16 (act_dtype below —
     # numerically free: every consumer matmul casts to bf16 anyway): fp32
@@ -320,7 +380,8 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
     n_pad = _round_up(max(n, tile), tile)
     if n_pad != n:
         pad = ((0, n_pad - n), (0, 0))
-        x, cond = jnp.pad(x, pad), jnp.pad(cond, pad)
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n)) if x_fm else pad)
+        cond = jnp.pad(cond, pad)
         g_rgb, g_den = jnp.pad(g_rgb, pad), jnp.pad(g_den, pad)
         if gated:
             gate = jnp.pad(gate, pad)
@@ -361,7 +422,7 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
 
             def fwd(x_, c_, ws):
                 return _forward_tile(
-                    config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16
+                    config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16, x_fm=x_fm
                 )
 
             _, vjp = jax.vjp(fwd, x_ref[:], cond_ref[:], [w[:] for w in w_refs])
@@ -415,7 +476,9 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((in_dim, tile), lambda i: (0, i))
+            if x_fm
+            else pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
             *gate_in_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
             pl.BlockSpec((tile, g_rgb.shape[-1]), lambda i: (i, 0)),
@@ -423,7 +486,9 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
             *w_specs,
         ],
         out_specs=[
-            pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
+            pl.BlockSpec((in_dim, tile), lambda i: (0, i))
+            if x_fm
+            else pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
             *gate_out_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
             *dw_specs,
@@ -431,7 +496,7 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
         out_shape=[
             # Input cotangents carry the input dtypes (custom_vjp contract;
             # x/cond may arrive in bf16 from the encode fusion).
-            jax.ShapeDtypeStruct((n_pad, in_dim), x.dtype),
+            jax.ShapeDtypeStruct((in_dim, n_pad) if x_fm else (n_pad, in_dim), x.dtype),
             *gate_out_shapes,
             jax.ShapeDtypeStruct((n_pad, cond.shape[-1]), cond.dtype),
             *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights_2d],
@@ -449,9 +514,10 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
     dweights = [
         dw if w.ndim == 2 else dw[0] for dw, w in zip(dweights, weights)
     ]
+    dx = dx[:, :n] if x_fm else dx[:n]
     if gated:
-        return dx[:n], dgate[:n], dfill.astype(fill.dtype), dcond[:n], dweights
-    return dx[:n], dcond[:n], dweights
+        return dx, dgate[:n], dfill.astype(fill.dtype), dcond[:n], dweights
+    return dx, dcond[:n], dweights
 
 
 fused_nerf_mlp.defvjp(_fused_fwd, _fused_bwd)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from durf_tpu import mathx
-from durf_tpu.ops.frustum import cast_rays
+from durf_tpu.ops.frustum import cast_rays, cast_rays_cm
 
 
 def sample_along_rays(
@@ -25,11 +25,13 @@ def sample_along_rays(
     lindisp: bool,
     ray_shape: str,
     diag: bool = False,
+    cm: bool = False,
 ):
     """Stratified sampling of num_samples+1 fenceposts in [near, far].
 
-    Returns (t_vals [B, S+1], (means [B, S, 3], covs)). Reference
-    mip.py:330-370 (lindisp option at 354-358).
+    Returns (t_vals [B, S+1], (means [B, S, 3], covs)) — or coordinate-major
+    ([3, B, S], [3, B, S]) samples with cm=True (diag only; see
+    frustum.lift_gaussian_cm). Reference mip.py:330-370 (lindisp at 354-358).
     """
     batch_size = origins.shape[0]
 
@@ -47,6 +49,9 @@ def sample_along_rays(
         t_vals = lower + (upper - lower) * t_rand
     else:
         t_vals = jnp.broadcast_to(t_vals, [batch_size, num_samples + 1])
+    if cm:
+        assert diag, "coordinate-major sampling is diagonal-covariance only"
+        return t_vals, cast_rays_cm(t_vals, origins, directions, radii, ray_shape)
     means, covs = cast_rays(t_vals, origins, directions, radii, ray_shape, diag)
     return t_vals, (means, covs)
 
@@ -64,6 +69,7 @@ def resample_along_rays(
     resample_padding: float,
     num_samples: int | None = None,
     diag: bool = False,
+    cm: bool = False,
 ):
     """Hierarchical resampling: blurpool the weights, then inverse-CDF sample.
 
@@ -85,5 +91,8 @@ def resample_along_rays(
     new_t_vals = mathx.sorted_piecewise_constant_pdf(key, t_vals, weights, n_out, randomized)
     if stop_grad:
         new_t_vals = lax.stop_gradient(new_t_vals)
+    if cm:
+        assert diag, "coordinate-major sampling is diagonal-covariance only"
+        return new_t_vals, cast_rays_cm(new_t_vals, origins, directions, radii, ray_shape)
     means, covs = cast_rays(new_t_vals, origins, directions, radii, ray_shape, diag)
     return new_t_vals, (means, covs)

@@ -457,3 +457,46 @@ def test_masked_encode_constant_trick_bit_exact():
         )
         new = hit_s * enc[None] + (1.0 - hit_s) * c0[None]
         np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_coord_major_model_matches_row_major():
+    """Full model forward: coord_major=True must match False to float tolerance."""
+    import dataclasses
+
+    from durf_tpu.models import construct_model
+    from durf_tpu.data.synthetic import example_ray_batch
+    from durf_tpu.configs import MLPConfig, ModelConfig
+
+    batch = example_ray_batch(batch_size=16, n_obj=2, timesteps=3, seed=3)
+    base = ModelConfig(
+        num_samples=6,
+        num_levels=2,
+        max_deg_point=6,
+        deg_view=2,
+        num_objects=2,
+        timesteps=3,
+        density_noise=0.0,
+        mlp=MLPConfig(net_depth=2, net_width=16, net_width_condition=8),
+        box_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+    )
+    outs = []
+    for cm in (False, True):
+        cfg = dataclasses.replace(base, coord_major=cm)
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+        out = model.apply(
+            {"params": variables["params"]},
+            rng=None,
+            rays=batch["rays"],
+            init_boxes=batch["init"],
+            ext=batch["ext"],
+            ts=batch["ts"],
+            randomized=False,
+            background="gray",
+            alpha=5.0,
+        )
+        outs.append(out)
+    for a, b in zip(outs[0], outs[1]):
+        for k in ("rgb", "depth", "acc", "weights"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), atol=2e-5, rtol=1e-5
+            )

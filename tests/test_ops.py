@@ -414,3 +414,66 @@ def test_recurrent_ipe_matches_direct():
     gx_r, gv_r = jax.grad(f_rec, argnums=(0, 1))(x, v)
     np.testing.assert_allclose(np.asarray(gx_r), np.asarray(gx_d), rtol=1e-3, atol=2e-2)
     np.testing.assert_allclose(np.asarray(gv_r), np.asarray(gv_d), rtol=1e-3, atol=2e-2)
+
+
+class TestCoordinateMajor:
+    """The [3, B, S] coordinate-major pipeline must match row-major exactly."""
+
+    def _rays(self, b=7, s=9, seed=11):
+        rng = np.random.default_rng(seed)
+        t_vals = np.sort(rng.uniform(0.5, 20.0, size=(b, s + 1)), axis=-1).astype(np.float32)
+        origins = rng.normal(size=(b, 3)).astype(np.float32)
+        dirs = rng.normal(size=(b, 3)).astype(np.float32)
+        radii = rng.uniform(0.001, 0.05, size=(b, 1)).astype(np.float32)
+        return t_vals, origins, dirs, radii
+
+    def test_cast_rays_cm_matches_row_major(self):
+        t_vals, origins, dirs, radii = self._rays()
+        for shape in ("cone", "cylinder"):
+            m, c = ops.cast_rays(t_vals, origins, dirs, radii, shape, diag=True)
+            mt, ct = ops.cast_rays_cm(t_vals, origins, dirs, radii, shape)
+            np.testing.assert_array_equal(np.moveaxis(np.asarray(mt), 0, -1), np.asarray(m))
+            np.testing.assert_array_equal(np.moveaxis(np.asarray(ct), 0, -1), np.asarray(c))
+
+    def test_contract_gaussian_diag_axis0(self):
+        rng = np.random.default_rng(5)
+        mean = rng.normal(scale=3.0, size=(6, 4, 3)).astype(np.float32)
+        var = rng.uniform(0, 0.5, size=(6, 4, 3)).astype(np.float32)
+        m, v = ops.contract_gaussian_diag(jnp.asarray(mean), jnp.asarray(var))
+        mt, vt = ops.contract_gaussian_diag(
+            jnp.moveaxis(jnp.asarray(mean), -1, 0), jnp.moveaxis(jnp.asarray(var), -1, 0), axis=0
+        )
+        np.testing.assert_array_equal(np.moveaxis(np.asarray(mt), 0, -1), np.asarray(m))
+        np.testing.assert_array_equal(np.moveaxis(np.asarray(vt), 0, -1), np.asarray(v))
+
+    def test_ipe_cm_matches_row_major(self):
+        rng = np.random.default_rng(7)
+        mean = rng.normal(size=(5, 6, 3)).astype(np.float32)
+        var = rng.uniform(0, 0.4, size=(5, 6, 3)).astype(np.float32)
+        mt = jnp.moveaxis(jnp.asarray(mean), -1, 0)
+        vt = jnp.moveaxis(jnp.asarray(var), -1, 0)
+        for recurrent in (False, True):
+            row = ops.integrated_pos_enc(
+                (jnp.asarray(mean), jnp.asarray(var)), 0, 6, diag=True, recurrent=recurrent
+            )
+            colm = ops.integrated_pos_enc_cm(mt, vt, 0, 6, recurrent=recurrent)
+            np.testing.assert_allclose(
+                np.moveaxis(np.asarray(colm), 0, -1), np.asarray(row), atol=1e-6
+            )
+
+    def test_windowed_ipe_cm_matches_row_major(self):
+        rng = np.random.default_rng(9)
+        mean = rng.normal(size=(4, 5, 3)).astype(np.float32)
+        var = rng.uniform(0, 0.4, size=(4, 5, 3)).astype(np.float32)
+        mt = jnp.moveaxis(jnp.asarray(mean), -1, 0)
+        vt = jnp.moveaxis(jnp.asarray(var), -1, 0)
+        for alpha in (2.5, 10.0):
+            for recurrent in (False, True):
+                row = ops.windowed_ipe(
+                    (jnp.asarray(mean), jnp.asarray(var)), 0, 6, alpha, diag=True,
+                    recurrent=recurrent,
+                )
+                colm = ops.windowed_ipe_cm(mt, vt, 0, 6, alpha, recurrent=recurrent)
+                np.testing.assert_allclose(
+                    np.moveaxis(np.asarray(colm), 0, -1), np.asarray(row), atol=1e-6
+                )
