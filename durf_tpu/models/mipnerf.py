@@ -133,7 +133,7 @@ class MipNerf(nn.Module):
             # Pallas kernel and never materialized (see NerfMLP.gate).
             box_mlps = nn.vmap(
                 NerfMLP,
-                in_axes=(None, None, 0, None, None),
+                in_axes=(None, None, 0, None, None, None),
                 out_axes=0,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
@@ -288,9 +288,16 @@ class MipNerf(nn.Module):
                     enc = ops.windowed_ipe((mean, cov), diag=diag, **obj_kwargs)
                     c0 = ops.windowed_ipe((zeros3, zcov), diag=diag, **obj_kwargs)
                 gate = hit.T[..., None]  # [N_obj, B, 1]
-                obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm)
-                obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
-                obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
+                obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm, cm)
+                if cm:
+                    # Feature-major outputs [N_obj, C, B, S]: the masked
+                    # object sums run on dense channel planes.
+                    hit_fm = hit.T[:, None, :, None]  # [N_obj, 1, B, 1]
+                    obj_rgbs = (hit_fm * obj_rgb).sum(axis=0)  # [3, B, S]
+                    obj_densities = (hit_fm * obj_density).sum(axis=0)  # [1, B, S]
+                else:
+                    obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
+                    obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
 
                 # Background gets the complement mask, clamped at 0: the
                 # reference's unclamped 1 - Σhit goes to -1 when a ray hits
@@ -334,7 +341,9 @@ class MipNerf(nn.Module):
                     recurrent=cfg.recurrent_encode,
                 )
 
-            raw_rgb, raw_density = mlp(samples_enc, viewdirs_enc, x_feature_major=cm)
+            raw_rgb, raw_density = mlp(
+                samples_enc, viewdirs_enc, x_feature_major=cm, out_feature_major=cm
+            )
             if dynamics:
                 raw_rgb = raw_rgb + obj_rgbs
                 raw_density = raw_density + obj_densities
@@ -357,9 +366,20 @@ class MipNerf(nn.Module):
 
             rgb = get_activation(cfg.rgb_activation)(raw_rgb)
             density = get_activation(cfg.density_activation)(raw_density + cfg.density_bias)
-            comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists = ops.volumetric_rendering(
-                rgb, density, t_vals, dirs_s, background=background, key=key
-            )
+            if cm:
+                # Feature-major rgb [3, B, S] / density [1, B, S]: composite
+                # on dense channel planes (ops.volumetric_rendering_cm).
+                comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists = (
+                    ops.volumetric_rendering_cm(
+                        rgb, density[0], t_vals, dirs_s, background=background, key=key
+                    )
+                )
+            else:
+                comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists = (
+                    ops.volumetric_rendering(
+                        rgb, density, t_vals, dirs_s, background=background, key=key
+                    )
+                )
             if positions_c is None:
                 level_out = dict()
             else:

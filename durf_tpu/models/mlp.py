@@ -79,6 +79,7 @@ class NerfMLP(nn.Module):
         gate: Optional[jax.Array] = None,
         fill: Optional[jax.Array] = None,
         x_feature_major: bool = False,
+        out_feature_major: bool = False,
     ):
         """Args:
           x: [..., S, F] encoded sample features — or FEATURE-MAJOR
@@ -94,9 +95,13 @@ class NerfMLP(nn.Module):
             models/mipnerf.py).
           fill: [1, 1, F] constant row used where gate == 0 (required with
             gate).
+          out_feature_major: return ([3, ..., S], [1, ..., S]) channel planes
+            (the heads emit transposed outputs directly; the compositing side
+            then runs on dense tiles — docs/DESIGN.md).
 
         Returns:
-          (raw_rgb [..., S, 3], raw_density [..., S, 1]) in float32.
+          (raw_rgb [..., S, 3], raw_density [..., S, 1]) in float32 — or the
+          feature-major shapes above with out_feature_major=True.
         """
         cfg = self.config
         if cfg.net_activation != "relu":
@@ -153,7 +158,12 @@ class NerfMLP(nn.Module):
             # Feed the kernel in compute dtype: the convert fuses into the
             # producing encode fusion (no separate cast pass at the custom-
             # call boundary) and halves the [N, F] HBM traffic under bf16.
-            if gate is not None and self.pallas_gate_in_kernel and not fm:
+            if (
+                gate is not None
+                and self.pallas_gate_in_kernel
+                and not fm
+                and not out_feature_major
+            ):
                 raw_rgb, raw_density = fk.fused_nerf_mlp_gated(
                     flat_x.astype(self.compute_dtype),
                     gate_b,
@@ -176,6 +186,7 @@ class NerfMLP(nn.Module):
                     self.pallas_tile,
                     interpret,
                     fm,
+                    out_feature_major,
                 )
         else:
             if gate is not None:
@@ -189,7 +200,12 @@ class NerfMLP(nn.Module):
                 has_condition=condition is not None,
                 dtype=self.compute_dtype,
                 x_fm=fm,
+                out_fm=out_feature_major,
             )
-        raw_rgb = raw_rgb.reshape(batch_shape + (cfg.num_rgb_channels,))
-        raw_density = raw_density.reshape(batch_shape + (cfg.num_density_channels,))
+        if out_feature_major:
+            raw_rgb = raw_rgb.reshape((cfg.num_rgb_channels,) + batch_shape)
+            raw_density = raw_density.reshape((cfg.num_density_channels,) + batch_shape)
+        else:
+            raw_rgb = raw_rgb.reshape(batch_shape + (cfg.num_rgb_channels,))
+            raw_density = raw_density.reshape(batch_shape + (cfg.num_density_channels,))
         return raw_rgb.astype(jnp.float32), raw_density.astype(jnp.float32)

@@ -23,7 +23,11 @@ from durf_tpu.ops.encoding import (
     windowed_pos_enc,
 )
 from durf_tpu.ops.sampling import resample_along_rays, sample_along_rays
-from durf_tpu.ops.render import volumetric_density, volumetric_rendering
+from durf_tpu.ops.render import (
+    volumetric_density,
+    volumetric_rendering,
+    volumetric_rendering_cm,
+)
 from durf_tpu.ops.contraction import contract, contract_gaussian, contract_gaussian_diag
 from durf_tpu.ops.boxes import (
     axis_angle_to_matrix,

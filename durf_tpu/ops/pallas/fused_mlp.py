@@ -125,6 +125,51 @@ def _dot_t_bwd(dtype, res, g):
 _dot_t.defvjp(_dot_t_fwd, _dot_t_bwd)
 
 
+def _dot_ot_impl(a, w, dtype):
+    # (a @ w)^T computed directly: a [T, K], w [K, W] -> [W, T]. Emitting the
+    # head outputs feature-major avoids any in-kernel transpose.
+    return jax.lax.dot_general(
+        w.astype(dtype),
+        a.astype(dtype),
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dot_ot(a, w, dtype=jnp.bfloat16):
+    """Transposed-OUTPUT MXU matmul with fp32 accumulation (see _dot)."""
+    return _dot_ot_impl(a, w, dtype)
+
+
+def _dot_ot_fwd(a, w, dtype):
+    return _dot_ot_impl(a, w, dtype), (a, w)
+
+
+def _dot_ot_bwd(dtype, res, g_t):
+    a, w = res
+    if jax.default_backend() == "cpu":
+        dtype = jnp.float32
+    g16 = g_t.astype(dtype)  # [W_out, T]
+    da = jax.lax.dot_general(
+        g16,
+        w.astype(dtype),
+        dimension_numbers=(((0,), (1,)), ((), ())),  # g_t^T @ w^T -> [T, K]
+        preferred_element_type=jnp.float32,
+    ).astype(a.dtype)
+    dw = jax.lax.dot_general(
+        a.astype(dtype),
+        g16,
+        dimension_numbers=(((0,), (1,)), ((), ())),  # a^T @ g_t^T -> [K, W]
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return da, dw
+
+
+_dot_ot.defvjp(_dot_ot_fwd, _dot_ot_bwd)
+
+
 def _layer_dims(config, in_dim: int) -> list:
     """Input dim of every trunk layer (skip concat folded in)."""
     dims = []
@@ -158,7 +203,7 @@ def mlp_params_from_flax(params: Dict[str, Any], config) -> list:
     return ops
 
 
-def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None, x_fm: bool = False):
+def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None, x_fm: bool = False, out_fm: bool = False):
     """Run the full MLP on one [T, in_dim] tile (pure jnp; used inside the
     kernel so it lowers to MXU ops on VMEM values).
 
@@ -167,7 +212,10 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
     is numerically free on the forward; in the backward kernel it halves the
     jax.vjp residual footprint in VMEM, which is what bounds the tile size.
     x_fm: x arrives FEATURE-MAJOR [in_dim, T] (the coordinate-major encode's
-    native layout); the x-consuming matmuls contract its leading axis."""
+    native layout); the x-consuming matmuls contract its leading axis.
+    out_fm: emit (raw_rgb [3, T], raw_density [1, T]) feature-major — the
+    head matmuls produce the transposed outputs directly (_dot_ot), so the
+    compositing consumes dense [C, N] planes with no transpose anywhere."""
     it = iter(weights)
     nxt = lambda: next(it)
     dot_x = (lambda a, w: _dot_t(a, w, dtype)) if x_fm else (lambda a, w: _dot(a, w, dtype))
@@ -190,7 +238,10 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
             h = h.astype(act_dtype)
         # (the concat itself is virtual: we keep h and x separate)
     dk, db = nxt(), nxt()
-    raw_density = _dot(h, dk, dtype) + db
+    if out_fm:
+        raw_density = _dot_ot(h, dk, dtype) + (db.T if db.ndim == 2 else db[:, None])
+    else:
+        raw_density = _dot(h, dk, dtype) + db
     g = h
     if has_condition:
         bk, bb = nxt(), nxt()
@@ -209,24 +260,28 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
             if act_dtype is not None:
                 g = g.astype(act_dtype)
     rk, rb = nxt(), nxt()
-    raw_rgb = _dot(g, rk, dtype) + rb
+    if out_fm:
+        raw_rgb = _dot_ot(g, rk, dtype) + (rb.T if rb.ndim == 2 else rb[:, None])
+    else:
+        raw_rgb = _dot(g, rk, dtype) + rb
     return raw_rgb, raw_density
 
 
-def mlp_reference_forward(config, x, cond, weights, has_condition: bool = True, dtype=jnp.float32, x_fm: bool = False):
+def mlp_reference_forward(config, x, cond, weights, has_condition: bool = True, dtype=jnp.float32, x_fm: bool = False, out_fm: bool = False):
     """The XLA (non-Pallas) execution path: same split-matmul math on the
     full [N, F] batch, with a configurable compute dtype. x_fm: x is
-    feature-major [F, N] (consumed via transposed-lhs dots, no transpose)."""
+    feature-major [F, N] (consumed via transposed-lhs dots, no transpose);
+    out_fm: outputs feature-major [C, N]."""
     in_dim = x.shape[0] if x_fm else x.shape[-1]
-    return _forward_tile(config, in_dim, x, cond, weights, has_condition, dtype, x_fm=x_fm)
+    return _forward_tile(config, in_dim, x, cond, weights, has_condition, dtype, x_fm=x_fm, out_fm=out_fm)
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = False, x_fm: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = False, x_fm: bool = False, out_fm: bool = False):
     """Fused MLP forward: (raw_rgb [N, 3], raw_density [N, 1]).
 
     Args:
@@ -240,8 +295,10 @@ def fused_nerf_mlp(x, cond, weights, config, tile: int = 512, interpret: bool = 
       tile: samples per grid step (static; multiple of 8).
       interpret: run in interpreter mode (CPU testing).
       x_fm: x is feature-major (static).
+      out_fm: outputs feature-major ([3, N], [1, N]) — the compositing side
+        consumes dense channel planes (static).
     """
-    return _fused_forward(x, cond, list(weights), config, tile, interpret, x_fm=x_fm)
+    return _fused_forward(x, cond, list(weights), config, tile, interpret, x_fm=x_fm, out_fm=out_fm)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
@@ -273,7 +330,7 @@ def _as_2d(weights):
     return [w if w.ndim == 2 else w[None] for w in weights]
 
 
-def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=None, x_fm=False):
+def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=None, x_fm=False, out_fm=False):
     weights = _as_2d(weights)
     in_dim, n = x.shape if x_fm else x.shape[::-1]
     n_pad = _round_up(max(n, tile), tile)
@@ -299,7 +356,7 @@ def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=No
             g = gate_ref[:]
             x_t = (g * x_t + (1.0 - g) * fill_ref[:]).astype(x_t.dtype)
         rgb, den = _forward_tile(
-            config, in_dim, x_t, cond_ref[:], [w[:] for w in w_refs], x_fm=x_fm
+            config, in_dim, x_t, cond_ref[:], [w[:] for w in w_refs], x_fm=x_fm, out_fm=out_fm
         )
         rgb_ref[:] = rgb
         den_ref[:] = den
@@ -329,27 +386,41 @@ def _fused_forward(x, cond, weights, config, tile, interpret, gate=None, fill=No
             *w_specs,
         ],
         out_specs=[
-            pl.BlockSpec((tile, config.num_rgb_channels), lambda i: (i, 0)),
-            pl.BlockSpec((tile, config.num_density_channels), lambda i: (i, 0)),
+            pl.BlockSpec((config.num_rgb_channels, tile), lambda i: (0, i))
+            if out_fm
+            else pl.BlockSpec((tile, config.num_rgb_channels), lambda i: (i, 0)),
+            pl.BlockSpec((config.num_density_channels, tile), lambda i: (0, i))
+            if out_fm
+            else pl.BlockSpec((tile, config.num_density_channels), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, config.num_rgb_channels), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, config.num_density_channels), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (config.num_rgb_channels, n_pad) if out_fm else (n_pad, config.num_rgb_channels),
+                jnp.float32,
+            ),
+            jax.ShapeDtypeStruct(
+                (config.num_density_channels, n_pad)
+                if out_fm
+                else (n_pad, config.num_density_channels),
+                jnp.float32,
+            ),
         ],
         interpret=interpret,
         compiler_params=None
         if interpret
         else pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(x, *gate_args, cond, *weights)
+    if out_fm:
+        return rgb[:, :n], density[:, :n]
     return rgb[:n], density[:n]
 
 
-def _fused_fwd(x, cond, weights, config, tile, interpret, x_fm=False):
-    out = _fused_forward(x, cond, list(weights), config, tile, interpret, x_fm=x_fm)
+def _fused_fwd(x, cond, weights, config, tile, interpret, x_fm=False, out_fm=False):
+    out = _fused_forward(x, cond, list(weights), config, tile, interpret, x_fm=x_fm, out_fm=out_fm)
     return out, (x, cond, list(weights))
 
 
-def _fused_bwd(config, tile, interpret, x_fm, residuals, grads):
+def _fused_bwd(config, tile, interpret, x_fm, out_fm, residuals, grads):
     """Recompute-in-tile backward kernel.
 
     Per grid step: re-run the tile's forward on VMEM values, jax.vjp it in
@@ -359,10 +430,12 @@ def _fused_bwd(config, tile, interpret, x_fm, residuals, grads):
     stays VMEM-resident across the sequential grid and flushes once.
     """
     x, cond, weights = residuals
-    return _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, x_fm=x_fm)
+    return _fused_bwd_impl(
+        config, tile, interpret, x, cond, weights, grads, x_fm=x_fm, out_fm=out_fm
+    )
 
 
-def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None, fill=None, x_fm=False):
+def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None, fill=None, x_fm=False, out_fm=False):
     gated = gate is not None
     assert not (gated and x_fm), "gated kernel is row-major only"
     weights_2d = _as_2d(weights)
@@ -380,9 +453,11 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
     n_pad = _round_up(max(n, tile), tile)
     if n_pad != n:
         pad = ((0, n_pad - n), (0, 0))
-        x = jnp.pad(x, ((0, 0), (0, n_pad - n)) if x_fm else pad)
+        pad_fm = ((0, 0), (0, n_pad - n))
+        x = jnp.pad(x, pad_fm if x_fm else pad)
         cond = jnp.pad(cond, pad)
-        g_rgb, g_den = jnp.pad(g_rgb, pad), jnp.pad(g_den, pad)
+        g_rgb = jnp.pad(g_rgb, pad_fm if out_fm else pad)
+        g_den = jnp.pad(g_den, pad_fm if out_fm else pad)
         if gated:
             gate = jnp.pad(gate, pad)
     grid = n_pad // tile
@@ -422,7 +497,7 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
 
             def fwd(x_, c_, ws):
                 return _forward_tile(
-                    config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16, x_fm=x_fm
+                    config, in_dim, x_, c_, ws, act_dtype=jnp.bfloat16, x_fm=x_fm, out_fm=out_fm
                 )
 
             _, vjp = jax.vjp(fwd, x_ref[:], cond_ref[:], [w[:] for w in w_refs])
@@ -481,8 +556,12 @@ def _fused_bwd_impl(config, tile, interpret, x, cond, weights, grads, gate=None,
             else pl.BlockSpec((tile, in_dim), lambda i: (i, 0)),
             *gate_in_specs,
             pl.BlockSpec((tile, cond.shape[-1]), lambda i: (i, 0)),
-            pl.BlockSpec((tile, g_rgb.shape[-1]), lambda i: (i, 0)),
-            pl.BlockSpec((tile, g_den.shape[-1]), lambda i: (i, 0)),
+            pl.BlockSpec((g_rgb.shape[0], tile), lambda i: (0, i))
+            if out_fm
+            else pl.BlockSpec((tile, g_rgb.shape[-1]), lambda i: (i, 0)),
+            pl.BlockSpec((g_den.shape[0], tile), lambda i: (0, i))
+            if out_fm
+            else pl.BlockSpec((tile, g_den.shape[-1]), lambda i: (i, 0)),
             *w_specs,
         ],
         out_specs=[

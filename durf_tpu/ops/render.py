@@ -101,3 +101,37 @@ def distance_from_depth(depth: jax.Array, acc: jax.Array, t_vals: jax.Array) -> 
     """
     distance = depth / acc
     return jnp.clip(jnp.nan_to_num(distance, nan=jnp.inf), t_vals[:, 0], t_vals[:, -1])
+
+
+def volumetric_rendering_cm(
+    rgb_cm: jax.Array,
+    density: jax.Array,
+    t_vals: jax.Array,
+    dirs: jax.Array,
+    background: str = "gray",
+    key: jax.Array | None = None,
+):
+    """Coordinate-major volumetric_rendering: rgb as [3, B, S] channel planes,
+    density as a [B, S] plane (the feature-major MLP outputs). Same returns
+    (and the same per-element arithmetic) as volumetric_rendering — only the
+    rgb weighted sum and the density squeeze change layout, so every
+    elementwise op runs on dense (8, 128) tiles (docs/DESIGN.md)."""
+    weights, t_mids, t_dists = compute_weights(density[..., None], t_vals, dirs)
+
+    comp_rgb = (weights[None] * rgb_cm).sum(axis=-1).T  # [B, 3]
+    acc = weights.sum(axis=-1)
+    depth = (weights * t_mids).sum(axis=-1)
+
+    residual = 1.0 - acc[..., None]
+    if background == "white":
+        comp_rgb = comp_rgb + residual
+    elif background == "random":
+        if key is None:
+            raise ValueError("background='random' needs a PRNG key")
+        bg = jax.random.uniform(key, (1, 3), dtype=comp_rgb.dtype)
+        comp_rgb = comp_rgb + bg * residual
+    elif background == "gray":
+        comp_rgb = comp_rgb + 0.5 * residual
+    elif background != "black":
+        raise ValueError(f"unknown background {background!r}")
+    return comp_rgb, depth, acc, weights, t_vals, t_mids, t_dists
