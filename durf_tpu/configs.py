@@ -102,6 +102,19 @@ class ModelConfig:
         default_factory=lambda: MLPConfig(net_width=128)
     )
 
+    def __post_init__(self):
+        if self.recurrent_encode and not self.contraction and not self.fast_trig:
+            import warnings
+
+            warnings.warn(
+                "recurrent_encode ignores the safe_sin range guard (its "
+                "recurrence seeds call raw trig); with contraction=False the "
+                "uncontracted 2^deg*x inputs can reach the TPU transcendental "
+                "blow-up range. Enable contraction, or disable "
+                "recurrent_encode for unbounded raw coordinates.",
+                stacklevel=2,
+            )
+
 
 @dataclass
 class Config:

@@ -38,6 +38,13 @@ def _index_rays(r: Rays, idx) -> Rays:
     return jax.tree.map(lambda x: x[idx], r)
 
 
+class _ProducerError:
+    """Queue sentinel carrying a prefetch-thread exception to the consumer."""
+
+    def __init__(self, cause: BaseException):
+        self.cause = cause
+
+
 class _TimestepPool:
     """All rays/pixels/depth/sky of one scene, pooled per timestep."""
 
@@ -108,6 +115,13 @@ class RayDataset:
             return batch
         while True:
             batch = self._queue.get()
+            if isinstance(batch, _ProducerError):
+                # Re-raise a producer failure in the consumer thread instead
+                # of hanging forever on an empty queue (the reference shares
+                # this hang — obbpose_dataset.py:97-103 has no except either).
+                raise RuntimeError(
+                    f"ray-batch producer thread died: {batch.cause!r}"
+                ) from batch.cause
             # Train split: discard batches the producer built before a c2f
             # factor boundary (the prefetch queue can hold up to `prefetch`
             # stale ones; train batches are i.i.d. so dropping them is free).
@@ -149,7 +163,12 @@ class RayDataset:
     def _run(self) -> None:
         make = self._next_train if self.split == "train" else self._next_test
         while True:
-            self._queue.put(make())
+            try:
+                batch = make()
+            except BaseException as e:  # deliver, then stop producing
+                self._queue.put(_ProducerError(e))
+                return
+            self._queue.put(batch)
 
     def _box_batch(self, scene: Scene, ts0: int) -> dict:
         """Box-pose entries for a 0-based timestep (reference
@@ -205,7 +224,14 @@ class RayDataset:
             if self.batching == "single_image":
                 idx = self._rng.integers(0, n, (self.batch_size,))
             else:
-                start = int(self._rng.integers(0, n - self.batch_size))
+                if n < self.batch_size:
+                    raise ValueError(
+                        f"single_image_consecutive needs >= batch_size "
+                        f"({self.batch_size}) pixels per image, got {n}"
+                    )
+                # n == batch_size: only start 0 exists (integers(0, 0) raises).
+                hi = n - self.batch_size
+                start = int(self._rng.integers(0, hi)) if hi > 0 else 0
                 idx = np.arange(start, start + self.batch_size)
             ts0 = int(scene.timesteps[i]) - 1
             batch = {

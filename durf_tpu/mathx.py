@@ -282,9 +282,13 @@ def sorted_piecewise_constant_pdf(
     )
 
     def bracket(x):
+        # HIGHEST precision: one-hot selection is exact at fp32, but TPU
+        # DEFAULT matmul rounds operands to bf16 — adjacent CDF fenceposts can
+        # collapse to the same bf16 value and zero out cdf_g1 - cdf_g0.
+        hi = jax.lax.Precision.HIGHEST
         return (
-            jnp.einsum("...i,...ij->...j", x, lo_1h),
-            jnp.einsum("...i,...ij->...j", x, hi_1h),
+            jnp.einsum("...i,...ij->...j", x, lo_1h, precision=hi),
+            jnp.einsum("...i,...ij->...j", x, hi_1h, precision=hi),
         )
 
     bins_g0, bins_g1 = bracket(bins)

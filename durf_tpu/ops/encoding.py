@@ -249,6 +249,12 @@ def integrated_pos_enc(
         ~10x fewer transcendentals, fp-rounding-equivalent — see
         _ipe_features_recurrent).
 
+    NOTE: the recurrent path ignores `safe` — its restart seeds call raw
+    sin/cos, so it assumes range-bounded inputs (contracted scenes keep
+    2^deg * x within the TPU transcendental range). For contraction=False
+    scenes keep recurrent_encode off or pre-wrap coordinates; the config
+    check lives in ModelConfig validation.
+
     Reference mip.py:226-282 (matmuls at HIGHEST precision, mip.py:275-278).
     """
     if recurrent and diag:

@@ -286,8 +286,11 @@ def heuristic_sky_mask(depth: np.ndarray) -> np.ndarray:
 def load_sky_masks(path: str, n_expected: int) -> List[np.ndarray]:
     """Load an external segmenter's sky masks (reference sky_masks.npz
     contract: arr_0 = one [H/f, W/f] binary mask per image, rig order)."""
-    arr = np.load(path, allow_pickle=True)["arr_0"]
-    masks = [np.asarray(m, np.float32) for m in arr]
+    # No allow_pickle: plain float mask arrays never need pickle, and pickle
+    # deserialization of a user-supplied file would allow code execution.
+    with np.load(path) as f:
+        arr = f["arr_0"]
+        masks = [np.asarray(m, np.float32) for m in arr]
     if len(masks) != n_expected:
         raise ValueError(
             f"--sky_masks has {len(masks)} masks but the conversion produces "

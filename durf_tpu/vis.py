@@ -3,6 +3,14 @@
 Behavioral parity with reference internal/vis.py (sinebow/turbo depth maps
 with acc-weighted percentile auto-ranging, normals from depth gradients).
 Implemented host-side in numpy — visualization is not a device workload.
+
+Provenance: `visualize_depth`/`visualize_normals` follow the structure of
+reference internal/vis.py:45-132, which is itself vendored from Google's
+Apache-2.0 mip-NeRF (github.com/google/mipnerf, internal/vis.py) — the
+sort/cumsum acc-weighted auto-ranging and curve_fn/modulus contract are
+that upstream algorithm, re-expressed host-side in numpy with a polynomial
+turbo approximation instead of matplotlib (as `compute_ssim` in mathx.py
+notes its mip-NeRF lineage).
 """
 
 from __future__ import annotations
