@@ -44,6 +44,14 @@ def main():
         "--no-pallas for the plain XLA path)",
     )
     p.add_argument(
+        "--fused_objects",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="objects-in-grid kernel (one pallas_call over tiles x objects "
+        "with in-kernel hit-masked accumulation; --no-fused_objects for the "
+        "vmapped per-object kernels)",
+    )
+    p.add_argument(
         "--recurrent_encode",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -77,6 +85,7 @@ def _run(args):
     if args.pallas:
         config.model.use_pallas_mlp = True
     config.model.recurrent_encode = args.recurrent_encode
+    config.model.fused_objects = args.fused_objects
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

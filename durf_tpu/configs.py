@@ -75,6 +75,12 @@ class ModelConfig:
     grid_decay: float = 0.995  # per-step EMA decay of the grid
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
     use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU
+    # Objects-in-grid kernel: all object MLPs in ONE pallas_call with the
+    # object axis as an inner grid dimension — shared features fetched once
+    # per tile, hit-masked outputs accumulated in-kernel, per-ray viewdir
+    # condition hoisted out (ops/pallas/obj_mlp.py). Exact same math as the
+    # vmapped path; active only with use_pallas_mlp + coord_major + dynamics.
+    fused_objects: bool = True
     # Plain (unguarded) trig in the encodings: exact while |2^k x| stays far
     # below the TPU blow-up range (~1e8) — guaranteed post-contraction; skips
     # the mod/where range reduction on the hot VPU path. False = reference's

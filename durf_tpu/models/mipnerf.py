@@ -275,27 +275,56 @@ class MipNerf(nn.Module):
                     safe=not cfg.fast_trig,
                     recurrent=cfg.recurrent_encode,
                 )
-                if cm:
+                use_fused_obj = (
+                    cfg.fused_objects
+                    and cfg.use_pallas_mlp
+                    and cm
+                    and viewdirs_enc is not None
+                    and not self.is_initializing()
+                )
+                if use_fused_obj:
+                    # Objects-in-grid kernel: ONE pallas_call over
+                    # (tiles, objects), hit-masked outputs accumulated
+                    # in-kernel, per-ray condition hoisted — the params are
+                    # the vmapped module's own tree pulled from this scope,
+                    # so checkpoints and the XLA path are untouched
+                    # (ops/pallas/obj_mlp.py; for a 0/1 hit mask
+                    # hit*MLP(blend(enc)) == hit*MLP(enc) in value and grad,
+                    # so the constant-fill blend disappears entirely).
+                    from durf_tpu.ops.pallas import obj_mlp as objk
+
+                    enc = ops.windowed_ipe_cm(mean, cov, **obj_kwargs)
+                    obj_params = self.scope.get_variable("params", "object_mlps")
+                    obj_rgbs, obj_densities = objk.obj_mlps_apply(
+                        obj_params,
+                        cfg.box_mlp,
+                        enc,
+                        viewdirs_enc,
+                        hit,
+                        dtype,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                elif cm:
                     enc = ops.windowed_ipe_cm(mean, cov, **obj_kwargs)
                     c0 = ops.windowed_ipe_cm(
                         jnp.zeros((3, 1, 1), mean.dtype),
                         jnp.zeros((3, 1, 1), mean.dtype),
                         **obj_kwargs,
                     )
-                else:
-                    zeros3 = jnp.zeros((1, 1, 3), mean.dtype)
-                    zcov = zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean.dtype)
-                    enc = ops.windowed_ipe((mean, cov), diag=diag, **obj_kwargs)
-                    c0 = ops.windowed_ipe((zeros3, zcov), diag=diag, **obj_kwargs)
-                gate = hit.T[..., None]  # [N_obj, B, 1]
-                obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm, cm)
-                if cm:
+                    gate = hit.T[..., None]  # [N_obj, B, 1]
+                    obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm, cm)
                     # Feature-major outputs [N_obj, C, B, S]: the masked
                     # object sums run on dense channel planes.
                     hit_fm = hit.T[:, None, :, None]  # [N_obj, 1, B, 1]
                     obj_rgbs = (hit_fm * obj_rgb).sum(axis=0)  # [3, B, S]
                     obj_densities = (hit_fm * obj_density).sum(axis=0)  # [1, B, S]
                 else:
+                    zeros3 = jnp.zeros((1, 1, 3), mean.dtype)
+                    zcov = zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean.dtype)
+                    enc = ops.windowed_ipe((mean, cov), diag=diag, **obj_kwargs)
+                    c0 = ops.windowed_ipe((zeros3, zcov), diag=diag, **obj_kwargs)
+                    gate = hit.T[..., None]  # [N_obj, B, 1]
+                    obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm, cm)
                     obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
                     obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
 

@@ -203,7 +203,7 @@ def mlp_params_from_flax(params: Dict[str, Any], config) -> list:
     return ops
 
 
-def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None, x_fm: bool = False, out_fm: bool = False):
+def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = True, dtype=jnp.bfloat16, act_dtype=None, x_fm: bool = False, out_fm: bool = False, cond_preapplied: bool = False, dot_x_fn=None):
     """Run the full MLP on one [T, in_dim] tile (pure jnp; used inside the
     kernel so it lowers to MXU ops on VMEM values).
 
@@ -215,10 +215,22 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
     native layout); the x-consuming matmuls contract its leading axis.
     out_fm: emit (raw_rgb [3, T], raw_density [1, T]) feature-major — the
     head matmuls produce the transposed outputs directly (_dot_ot), so the
-    compositing consumes dense [C, N] planes with no transpose anywhere."""
+    compositing consumes dense [C, N] planes with no transpose anywhere.
+    cond_preapplied: `cond` is already cond_raw @ head_0_kernel[width:] (the
+    per-RAY condition matmul hoisted out of the kernel — it depends only on
+    the ray, not the sample, so doing it per sample wastes S× the work and
+    the [N, F_c] per-sample traffic; docs/DESIGN.md round-3). The head_0
+    matmul then uses only the first `net_width` kernel rows."""
     it = iter(weights)
     nxt = lambda: next(it)
-    dot_x = (lambda a, w: _dot_t(a, w, dtype)) if x_fm else (lambda a, w: _dot(a, w, dtype))
+    if dot_x_fn is not None:
+        # Caller-supplied x contraction (e.g. the objects-in-grid kernel's
+        # chunked plane dot: x stays in the encode's [F, R, S] plane layout
+        # and each [F, S] ray-row chunk is contracted separately — static
+        # slices only, no relayout of x anywhere).
+        dot_x = dot_x_fn
+    else:
+        dot_x = (lambda a, w: _dot_t(a, w, dtype)) if x_fm else (lambda a, w: _dot(a, w, dtype))
     h = None
     for i in range(config.net_depth):
         k, b = nxt(), nxt()
@@ -251,7 +263,7 @@ def _forward_tile(config, in_dim: int, x, cond, weights, has_condition: bool = T
             if i == 0:
                 g = (
                     _dot(g, hk[: config.net_width], dtype)
-                    + _dot(cond, hk[config.net_width :], dtype)
+                    + (cond if cond_preapplied else _dot(cond, hk[config.net_width :], dtype))
                     + hb
                 )
             else:

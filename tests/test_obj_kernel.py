@@ -1,0 +1,156 @@
+"""Objects-in-grid fused kernel vs the vmapped per-object path (interpret mode).
+
+The kernel contract (ops/pallas/obj_mlp.py): for a 0/1 hit mask,
+`sum_o hit_o * MLP_o(enc)` equals the model's hit-masked sum over the vmapped
+per-object MLPs — in value and gradient — with the per-ray condition matmul
+hoisted out of the kernel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from durf_tpu.configs import MLPConfig
+from durf_tpu.models.mlp import NerfMLP
+from durf_tpu.ops.pallas.obj_mlp import _tile_geometry, obj_mlps_apply
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = MLPConfig(net_depth=4, net_width=32, net_width_condition=32)
+    rng = np.random.default_rng(0)
+    n_obj, b, s, f_in, f_c = 2, 40, 4, 63, 27
+    enc = jnp.asarray(rng.normal(size=(b, s, f_in)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(b, f_c)), jnp.float32)
+    hit = jnp.asarray(rng.integers(0, 2, size=(b, n_obj)), jnp.float32)
+    vm = nn.vmap(
+        NerfMLP,
+        in_axes=(None, None),
+        out_axes=0,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        axis_size=n_obj,
+    )(cfg, compute_dtype=jnp.bfloat16)
+    variables = vm.init(jax.random.key(0), enc, cond)
+    return cfg, enc, cond, hit, vm, variables
+
+
+def _ref_masked_sum(vm, variables, enc, cond, hit):
+    rgb, den = vm.apply(variables, enc, cond)  # [N_obj, B, S, C]
+    m = hit.T[:, :, None, None]
+    return (m * rgb).sum(0), (m * den).sum(0)  # [B, S, C]
+
+
+def _fused(params, cfg, enc, cond, hit, tile=128):
+    enc_fm = jnp.moveaxis(enc, -1, 0)  # [F, B, S]
+    rgb_fm, den_fm = obj_mlps_apply(
+        params, cfg, enc_fm, cond, hit, jnp.bfloat16, tile=tile, interpret=True
+    )
+    return jnp.moveaxis(rgb_fm, 0, -1), jnp.moveaxis(den_fm, 0, -1)
+
+
+def test_tile_geometry_constraints():
+    for s in (4, 8, 12, 128, 96):
+        r, t = _tile_geometry(s, 2048)
+        assert r % 8 == 0 and t % 128 == 0 and t == r * s, (s, r, t)
+        assert t <= max(2048, t)  # at least one ray-unit tile
+
+
+def test_forward_matches_vmapped_masked_sum(setup):
+    cfg, enc, cond, hit, vm, variables = setup
+    rgb_r, den_r = _ref_masked_sum(vm, variables, enc, cond, hit)
+    rgb_f, den_f = _fused(variables["params"], cfg, enc, cond, hit)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(den_f), np.asarray(den_r), atol=2e-2)
+
+
+def test_forward_multi_tile_padding(setup):
+    # 40 rays with 32-ray tiles -> 2 tiles with ray padding; results must not
+    # depend on the tile split.
+    cfg, enc, cond, hit, vm, variables = setup
+    a = _fused(variables["params"], cfg, enc, cond, hit, tile=128)
+    b = _fused(variables["params"], cfg, enc, cond, hit, tile=2048)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]), atol=1e-5)
+
+
+def test_gradients_match_vmapped_path(setup):
+    cfg, enc, cond, hit, vm, variables = setup
+
+    def loss_ref(params, enc_, cond_):
+        rgb, den = _ref_masked_sum(vm, {"params": params}, enc_, cond_, hit)
+        return jnp.sum(rgb**2) + jnp.sum(den**2)
+
+    def loss_fused(params, enc_, cond_):
+        rgb, den = _fused(params, cfg, enc_, cond_, hit)
+        return jnp.sum(rgb**2) + jnp.sum(den**2)
+
+    la = float(loss_ref(variables["params"], enc, cond))
+    lb = float(loss_fused(variables["params"], enc, cond))
+    np.testing.assert_allclose(la, lb, rtol=2e-3)
+
+    ga = jax.grad(loss_ref, argnums=(0, 1, 2))(variables["params"], enc, cond)
+    gb = jax.grad(loss_fused, argnums=(0, 1, 2))(variables["params"], enc, cond)
+    # bf16 summation-order differences can flip a near-zero relu
+    # pre-activation, drifting isolated grad elements by O(1e-1) — same
+    # reasoning as test_pallas_mlp.test_kernel_gradients_match_flax.
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1.2e-1, rtol=2e-2
+        )
+
+
+def test_all_miss_rays_contribute_zero(setup):
+    cfg, enc, cond, hit, vm, variables = setup
+    rgb, den = _fused(variables["params"], cfg, enc, cond, jnp.zeros_like(hit))
+    assert float(jnp.abs(rgb).max()) == 0.0
+    assert float(jnp.abs(den).max()) == 0.0
+
+
+def test_model_level_fused_matches_vmapped():
+    """MipNerf forward/grad with fused_objects on vs off (pallas interpret)."""
+    from durf_tpu.configs import ModelConfig
+    from durf_tpu.data.synthetic import example_ray_batch
+    from durf_tpu.models import construct_model
+
+    batch = example_ray_batch(batch_size=16, n_obj=2, timesteps=3, far=30.0)
+    outs = {}
+    for fused in (False, True):
+        cfg = ModelConfig(
+            num_samples=4,
+            num_levels=2,
+            max_deg_point=4,
+            deg_view=2,
+            num_objects=2,
+            timesteps=3,
+            density_noise=0.0,
+            use_pallas_mlp=True,
+            compute_dtype="bfloat16",
+            fused_objects=fused,
+            mlp=MLPConfig(net_depth=2, net_width=16, net_width_condition=8),
+            box_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+        )
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+
+        def fwd(v):
+            ret = model.apply(
+                v,
+                rng=None,
+                rays=batch["rays"],
+                init_boxes=batch["init"],
+                ext=batch["ext"],
+                ts=batch["ts"],
+                randomized=False,
+                background="gray",
+                alpha=float(cfg.max_deg_point),
+            )
+            return jnp.mean(ret[-1]["rgb"] ** 2) + jnp.mean(ret[-1]["weights"])
+
+        outs[fused] = (float(fwd(variables)), jax.grad(fwd)(variables))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=5e-3)
+    for a, b in zip(jax.tree.leaves(outs[False][1]), jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-2, rtol=5e-2
+        )
