@@ -44,6 +44,12 @@ def main():
         "--no-pallas for the plain XLA path)",
     )
     p.add_argument(
+        "--remat",
+        action="store_true",
+        help="remat the XLA-path MLP forward (jax.checkpoint) — lets "
+        "--no-pallas run batch 8192 within 15.75 GB HBM",
+    )
+    p.add_argument(
         "--fused_objects",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -86,6 +92,7 @@ def _run(args):
         config.model.use_pallas_mlp = True
     config.model.recurrent_encode = args.recurrent_encode
     config.model.fused_objects = args.fused_objects
+    config.model.remat_mlp = args.remat
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

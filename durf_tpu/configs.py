@@ -75,6 +75,11 @@ class ModelConfig:
     grid_decay: float = 0.995  # per-step EMA decay of the grid
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' MLP compute
     use_pallas_mlp: bool = False  # fused Pallas MLP kernel on TPU
+    # Remat the XLA-path MLP forward (jax.checkpoint): recompute the trunk in
+    # the backward instead of storing per-layer activations. Without it the
+    # XLA backward at batch 8192 needs ~28 GB (> 15.75 GB HBM); the Pallas
+    # path recomputes in-tile already and ignores this flag.
+    remat_mlp: bool = False
     # Objects-in-grid kernel: all object MLPs in ONE pallas_call with the
     # object axis as an inner grid dimension — shared features fetched once
     # per tile, hit-masked outputs accumulated in-kernel, per-ray viewdir
@@ -202,6 +207,11 @@ class Config:
     # cleanly. Delay the pose updates past the garbage-gradient phase.
     pose_lr_delay_steps: int = 0
     pose_lr_ramp_steps: int = 1000
+    # Cosine-decay the pose LR to 0 over this many steps AFTER delay+ramp
+    # (0 = no decay). The isolation probe's converged schedule: recover the
+    # pose inside the coarse BARF window, then freeze it — without decay the
+    # recovered pose random-walks away again (docs/DESIGN.md).
+    pose_lr_decay_steps: int = 0
     checkpoint_keep: int = 100
     data_parallel_axis: str = "data"
     model: ModelConfig = field(default_factory=ModelConfig)

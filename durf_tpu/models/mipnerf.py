@@ -88,6 +88,7 @@ class MipNerf(nn.Module):
             cfg.mlp,
             compute_dtype=dtype,
             use_pallas=cfg.use_pallas_mlp,
+            remat=cfg.remat_mlp,
             name="background_mlp",
         )
 
@@ -141,6 +142,7 @@ class MipNerf(nn.Module):
                 cfg.box_mlp,
                 compute_dtype=dtype,
                 use_pallas=cfg.use_pallas_mlp,
+                remat=cfg.remat_mlp,
                 name="object_mlps",
             )
         else:

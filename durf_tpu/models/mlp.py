@@ -63,6 +63,11 @@ class NerfMLP(nn.Module):
     config: MLPConfig
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    # Wrap the XLA (non-Pallas) forward in jax.checkpoint: recompute the
+    # trunk in the backward instead of storing per-layer activations
+    # (ModelConfig.remat_mlp; lets `--no-pallas` survive batch 8192 on
+    # 15.75 GB HBM). No effect on the Pallas path.
+    remat: bool = False
     pallas_tile: int = 2048
     # Blend gate*x + (1-gate)*fill inside the Pallas kernel instead of in XLA.
     # Measured SLOWER at the flagship point (11.29M vs 11.55M ray-samples/s:
@@ -192,16 +197,28 @@ class NerfMLP(nn.Module):
             if gate is not None:
                 g = gate_b[:, 0][None, :] if fm else gate_b
                 flat_x = g * flat_x + (1.0 - g) * fill_row
-            raw_rgb, raw_density = fk.mlp_reference_forward(
-                cfg,
-                flat_x,
-                cond_b,
-                weights,
-                has_condition=condition is not None,
-                dtype=self.compute_dtype,
-                x_fm=fm,
-                out_fm=out_feature_major,
-            )
+
+            def xla_forward(x_, c_, w_):
+                return fk.mlp_reference_forward(
+                    cfg,
+                    x_,
+                    c_,
+                    w_,
+                    has_condition=condition is not None,
+                    dtype=self.compute_dtype,
+                    x_fm=fm,
+                    out_fm=out_feature_major,
+                )
+
+            if self.remat:
+                # Recompute the trunk in the backward instead of storing
+                # every [N, width] activation: the XLA-path backward at
+                # batch 8192 x 256 samples holds ~28 GB of activations
+                # (> 15.75 GB HBM, CLAUDE.md trap #5); with remat the peak
+                # is one layer. The Pallas path needs no flag — its custom
+                # backward already recomputes in-tile.
+                xla_forward = jax.checkpoint(xla_forward)
+            raw_rgb, raw_density = xla_forward(flat_x, cond_b, weights)
         if out_feature_major:
             raw_rgb = raw_rgb.reshape((cfg.num_rgb_channels,) + batch_shape)
             raw_density = raw_density.reshape((cfg.num_density_channels,) + batch_shape)

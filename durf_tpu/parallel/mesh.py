@@ -25,19 +25,18 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA_A
 
 
 def eval_mesh(mesh: Mesh, axis: str = DATA_AXIS) -> Mesh:
-    """The mesh full-image rendering should run on.
+    """The mesh full-image rendering runs on: the training mesh itself.
 
-    Single-process: the training mesh itself. Multi-process: a HOST-LOCAL
-    mesh — eval/render feed numpy chunks with `jax.device_put`, which cannot
-    address another host's devices (only `make_array_from_process_local_data`
-    can, and image chunks are host-local by nature). Every host renders its
-    own copy on its local chips (the model is replicated; chunk DP rides the
-    local ICI) and process 0 logs/saves. The reference's render path
-    host-slices pmap inputs the same way (obbpose_model.py:448-465).
-    """
-    if jax.process_count() == 1:
-        return mesh
-    return Mesh(np.asarray(jax.local_devices()), (axis,))
+    Round 3: multi-host eval splits every chunk ACROSS hosts on the global
+    mesh (each host feeds its slice via make_array_from_process_local_data
+    and the render jit all-gathers the replicated result — train.py
+    make_render_fn), matching the reference's per-host ray slices + in-pmap
+    all_gather (obbpose_model.py:448-473). The round-2 host-LOCAL eval mesh
+    this function used to return rendered the entire image redundantly on
+    every host; kept as a helper for callers that want the render mesh
+    explicitly."""
+    del axis
+    return mesh
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

@@ -90,13 +90,22 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     # and lr(max_steps) — not lr(max_steps - 1) — on the final update.
     tx = optax.adam(learning_rate=lambda count: lr_fn(count + 1))
     delay, ramp = config.pose_lr_delay_steps, max(config.pose_lr_ramp_steps, 1)
-    if config.pose_lr_mult != 1.0 or delay > 0:
+    decay = config.pose_lr_decay_steps
+    if config.pose_lr_mult != 1.0 or delay > 0 or decay > 0:
 
         def pose_scale(count):
             # 1-indexed like the schedules above; 0 until the delay, then a
-            # linear ramp to pose_lr_mult (see configs.pose_lr_delay_steps).
+            # linear ramp to pose_lr_mult (see configs.pose_lr_delay_steps),
+            # then (pose_lr_decay_steps > 0) a cosine decay to 0 — the
+            # schedule shape the round-2 isolation probe converged under
+            # (docs/DESIGN.md "Joint pose optimization"): recover the pose
+            # inside the coarse BARF window, then freeze it before the
+            # random-walk phase.
             step = count + 1
             gate = jnp.clip((step - delay) / ramp, 0.0, 1.0) if delay > 0 else 1.0
+            if decay > 0:
+                t = jnp.clip((step - delay - ramp) / decay, 0.0, 1.0)
+                gate = gate * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
             return config.pose_lr_mult * gate
 
         tx = optax.chain(
@@ -267,6 +276,8 @@ def make_render_fn(model: MipNerf, config: Config, mesh):
     # passes rand_bkgd=False, train_boxpose.py:388).
     eval_background = "white" if config.white_bkgd else "gray"
 
+    multihost = jax.process_count() > 1
+
     def render_chunk(params, rays, init_boxes, ext, ts, alpha):
         out = model.apply(
             {"params": params},
@@ -279,7 +290,14 @@ def make_render_fn(model: MipNerf, config: Config, mesh):
             background=eval_background,
             alpha=alpha,
         )[-1]
-        return {"rgb": out["rgb"], "depth": out["depth"], "acc": out["acc"]}
+        out = {"rgb": out["rgb"], "depth": out["depth"], "acc": out["acc"]}
+        if multihost:
+            # All-gather the chunk results so EVERY host holds the full chunk
+            # (each host computed only its slice — the reference's pattern:
+            # per-host ray slices + in-pmap all_gather + unshard,
+            # obbpose_model.py:463-473).
+            out = jax.lax.with_sharding_constraint(out, replicate(mesh))
+        return out
 
     jitted = jax.jit(
         render_chunk,
@@ -292,28 +310,48 @@ def make_render_fn(model: MipNerf, config: Config, mesh):
             replicate(mesh),  # alpha
         ),
     )
-    if jax.process_count() == 1:
+    if not multihost:
         return jitted
 
-    # Multiprocess runtimes refuse numpy jit inputs with non-replicated
-    # shardings even on a host-local mesh — place the ray chunks explicitly.
+    # Multi-host: the render runs on the GLOBAL training mesh, each host
+    # feeding its 1/process_count slice of every chunk (round-2 VERDICT weak
+    # #2b: the old host-local eval mesh rendered the ENTIRE image redundantly
+    # on every host). Every host owns a full copy of the test rays, so the
+    # local slice is assembled with make_array_from_process_local_data; the
+    # jit's replicated output arrives complete on every host.
     bshard = batch_sharding(mesh)
+    pc, pid = jax.process_count(), jax.process_index()
 
     def call(params, rays, init_boxes, ext, ts, alpha):
-        rays = jax.tree.map(lambda x: jax.device_put(np.asarray(x), bshard), rays)
-        return jitted(params, rays, init_boxes, ext, ts, alpha)
+        def place(x):
+            x = np.asarray(x)
+            if x.shape[0] % pc != 0:
+                raise ValueError(
+                    f"render chunk of {x.shape[0]} rays must divide "
+                    f"process_count {pc} (pad the chunk size)"
+                )
+            local = x.shape[0] // pc
+            return jax.make_array_from_process_local_data(
+                bshard, x[pid * local : (pid + 1) * local]
+            )
+
+        rays = jax.tree.map(place, rays)
+        out = jitted(params, rays, init_boxes, ext, ts, alpha)
+        # Host numpy per chunk: eager slicing/concat of cross-host global
+        # arrays in render_image would itself be a multi-controller op chain;
+        # materializing here keeps render_image host-local (same contract as
+        # the reference's per-chunk unshard).
+        return jax.device_get(out)
 
     return call
 
 
 def params_for_render(state):
-    """Params for the eval-mesh renderer: the live (global-mesh) arrays in
-    single-process runs; a host-local copy under multihost, because the
-    render jit runs on the HOST-LOCAL eval_mesh (see parallel.eval_mesh) and
-    cannot consume arrays committed to the cross-host training mesh."""
-    if jax.process_count() == 1:
-        return state.params
-    return jax.device_get(state.params)
+    """Params for the renderer: the live training arrays, unconditionally —
+    the render jit runs on the SAME global mesh as training (round 3; the
+    round-2 host-local eval mesh needed a host copy here and rendered the
+    full image redundantly on every host)."""
+    return state.params
 
 
 def evaluate_image(render_chunk, params, test_case, alpha, chunk: int):
@@ -368,7 +406,6 @@ def run_training(
     use_device_data = (
         config.device_resident_data
         and config.batching == "timestep"
-        and jax.process_count() == 1
         and device_data.pool_bytes(dataset) <= config.device_data_max_bytes
     )
     if use_device_data:

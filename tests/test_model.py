@@ -432,6 +432,31 @@ def test_recurrent_encode_matches_direct(dyn_model):
     np.testing.assert_allclose(np.asarray(a[-1]["depth"]), np.asarray(b[-1]["depth"]), atol=1e-3)
 
 
+def test_remat_mlp_matches_plain(dyn_model):
+    # remat_mlp recomputes the XLA-path trunk in the backward; values and
+    # gradients must be identical to the stored-activation path.
+    _, batch, _, _ = dyn_model
+    kwargs = dict(
+        rays=batch["rays"], init_boxes=batch["init"], ext=batch["ext"], ts=batch["ts"],
+        randomized=False, background="gray", alpha=4.0,
+    )
+    model_p, variables = construct_model(jax.random.key(0), batch, tiny_model_config())
+    model_r = MipNerf(tiny_model_config(remat_mlp=True))
+
+    def loss(m):
+        def f(v):
+            out = m.apply(v, rng=jax.random.key(1), **kwargs)
+            return jnp.mean(out[-1]["rgb"] ** 2)
+
+        return f(variables), jax.grad(f)(variables)
+
+    la, ga = loss(model_p)
+    lb, gb = loss(model_r)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_masked_encode_constant_trick_bit_exact():
     """The model's per-object encode shortcut: windowed_ipe(hit*m, hit*cov)
     == hit*windowed_ipe(m, cov) + (1-hit)*windowed_ipe(0, 0) bit-for-bit for
