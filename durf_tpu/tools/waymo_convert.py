@@ -302,7 +302,7 @@ def load_sky_masks(path: str, n_expected: int) -> List[np.ndarray]:
 def convert_frames(
     frames: Sequence,
     out_dir: str,
-    factor: int = 4,
+    factors: Sequence[int] | int = (4,),
     near: float = 0.1,
     far: float = 75.0,
     sky_masks: Optional[List[np.ndarray]] = None,
@@ -312,20 +312,31 @@ def convert_frames(
 
     Pure given `depth_fn` (defaults to the waymo-deps LIDAR unprojection) —
     unit-tested end-to-end with synthetic proto-shaped frames.
+
+    factors: pyramid levels to emit; the FIRST is the base factor and the
+    rest get `_{factor}`-suffixed npz files + `images_{factor}` dirs — the
+    c2f on-disk contract carla_postprocess already follows (reference
+    c2f_obb_dataset.py:628-653). Pass the full (16, 12, 8, 4)-style pyramid
+    for use_c2f runs. External --sky_masks arrive at the BASE factor and are
+    nearest-resized to the coarser levels.
     """
     from PIL import Image
 
     from durf_tpu.data import format as diskfmt
 
+    if isinstance(factors, int):
+        factors = (factors,)
     depth_fn = project_lidar_depth if depth_fn is None else depth_fn
+    base = factors[0]
 
     # Track ids present in every selected frame, renumbered densely from 1.
     movers = [moving_vehicle_boxes(f) for f in frames]
     id_map = select_common_movers(movers)
 
-    images, depths, skies, insts = [], [], [], []
+    per_factor = {f: dict(images=[], depths=[], skies=[], insts=[]) for f in factors}
     poses_hwf, bounds, pps = [], [], []
     boxes_3d: dict = {}
+    n_img = 0
     for t, frame in enumerate(frames):
         v2w = np.asarray(frame.pose.transform, np.float64).reshape(4, 4)
         for tid, (center, extent) in movers[t].items():
@@ -335,10 +346,7 @@ def convert_frames(
         by_name = {im.name: im for im in frame.images}
         for rig_index, cam_id in enumerate(RIG_ORDER):
             calib = next(c for c in frame.context.camera_calibrations if c.name == cam_id)
-            img = np.asarray(Image.open(io.BytesIO(by_name[cam_id].image)))
-            h, w = calib.height // factor, calib.width // factor
-            img = np.asarray(Image.fromarray(img).resize((w, h), Image.LANCZOS), np.float32) / 255.0
-            images.append(img)
+            raw = np.asarray(Image.open(io.BytesIO(by_name[cam_id].image)))
 
             extrinsic = np.asarray(calib.extrinsic.transform, np.float64).reshape(4, 4)
             c2w = camera_to_world_opengl(v2w, extrinsic)
@@ -351,26 +359,45 @@ def convert_frames(
             bounds.append([near, far])
             pps.append([calib.intrinsic[2], calib.intrinsic[3]])
 
-            depths.append(depth_fn(frame, factor, rig_index))
-            if sky_masks is None:
-                skies.append(heuristic_sky_mask(depths[-1]))
-            else:
-                skies.append(sky_masks[len(images) - 1])
-            insts.append(rasterize_box_masks(frame, rig_index, factor, id_map))
+            for f in factors:
+                h, w = calib.height // f, calib.width // f
+                img = np.asarray(
+                    Image.fromarray(raw).resize((w, h), Image.LANCZOS), np.float32
+                ) / 255.0
+                d = per_factor[f]
+                d["images"].append(img)
+                d["depths"].append(depth_fn(frame, f, rig_index))
+                if sky_masks is None:
+                    d["skies"].append(heuristic_sky_mask(d["depths"][-1]))
+                else:
+                    m = sky_masks[n_img]
+                    if m.shape != (h, w):
+                        m = np.asarray(
+                            Image.fromarray(m.astype(np.float32)).resize(
+                                (w, h), Image.NEAREST
+                            ),
+                            np.float32,
+                        )
+                    d["skies"].append(m)
+                d["insts"].append(rasterize_box_masks(frame, rig_index, f, id_map))
+            n_img += 1
 
     os.makedirs(out_dir, exist_ok=True)
-    diskfmt.save_scene(
-        out_dir,
-        images,
-        np.stack(poses_hwf),
-        np.asarray(bounds, np.float32),
-        boxes_3d,
-        depths,
-        skies,
-        insts,
-        factor=factor,
-        principal_points=np.asarray(pps, np.float32),
-    )
+    for f in factors:
+        d = per_factor[f]
+        diskfmt.save_scene(
+            out_dir,
+            d["images"],
+            np.stack(poses_hwf),
+            np.asarray(bounds, np.float32),
+            boxes_3d,
+            d["depths"],
+            d["skies"],
+            d["insts"],
+            factor=f,
+            principal_points=np.asarray(pps, np.float32),
+            base_factor=base,
+        )
 
 
 def convert(  # pragma: no cover - requires waymo deps
@@ -379,7 +406,7 @@ def convert(  # pragma: no cover - requires waymo deps
     timesteps: int = 5,
     start_frame: int = 0,
     frame_stride: int = 1,
-    factor: int = 4,
+    factors: Sequence[int] | int = (4,),
     near: float = 0.1,
     far: float = 75.0,
     sky_masks_path: Optional[str] = None,
@@ -410,7 +437,7 @@ def convert(  # pragma: no cover - requires waymo deps
             "heuristic. The reference pipeline uses segmentation masks — "
             "supply them for parity on real scenes."
         )
-    convert_frames(frames, out_dir, factor=factor, near=near, far=far, sky_masks=sky)
+    convert_frames(frames, out_dir, factors=factors, near=near, far=far, sky_masks=sky)
 
 
 def main(argv=None):  # pragma: no cover
@@ -420,7 +447,14 @@ def main(argv=None):  # pragma: no cover
     p.add_argument("--timesteps", type=int, default=5)
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--frame_stride", type=int, default=1)
-    p.add_argument("--factor", type=int, default=4)
+    p.add_argument(
+        "--factors",
+        type=int,
+        nargs="+",
+        default=[4],
+        help="pyramid levels; first is the base factor (pass '16 12 8 4' "
+        "for a use_c2f-ready scene — the carla_postprocess contract)",
+    )
     p.add_argument(
         "--sky_masks",
         default=None,
@@ -440,7 +474,7 @@ def main(argv=None):  # pragma: no cover
         timesteps=args.timesteps,
         start_frame=args.start_frame,
         frame_stride=args.frame_stride,
-        factor=args.factor,
+        factors=tuple(args.factors),
         sky_masks_path=args.sky_masks,
     )
 

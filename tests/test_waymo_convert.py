@@ -313,11 +313,18 @@ def test_convert_frames_end_to_end_loads_in_our_loader(tmp_path):
         return d
 
     out = str(tmp_path / "scene")
-    wc.convert_frames(frames, out, factor=4, near=0.1, far=75.0, depth_fn=stub_depth)
+    # Two pyramid levels: base factor 4 + a _8-suffixed coarse level (the c2f
+    # on-disk contract, carla_postprocess parity).
+    wc.convert_frames(frames, out, factors=(4, 8), near=0.1, far=75.0, depth_fn=stub_depth)
 
     # On-disk contract: 19-col poses_bounds, per-timestep box keys, npz maps.
     arr = np.load(f"{out}/poses_bounds.npy")
     assert arr.shape == (15, 19)
+    import os
+
+    assert os.path.isdir(f"{out}/images_4") and os.path.isdir(f"{out}/images_8")
+    assert os.path.exists(f"{out}/depth_images_8.npz")
+    assert os.path.exists(f"{out}/sky_masks_8.npz")
     boxes = np.load(f"{out}/3D_boxes.npy", allow_pickle=True).item()
     assert set(boxes) == {
         f"{t}_{i}_{k}" for t in (1, 2, 3) for i in (1, 2) for k in ("center", "ext")
@@ -341,3 +348,62 @@ def test_convert_frames_end_to_end_loads_in_our_loader(tmp_path):
     # remaps mask==1 to the 0.975 max NDC disparity (obbpose_dataset.py:
     # 1850-1853).
     assert scene.sky[0].max() == pytest.approx(0.975)
+    # The coarse pyramid level loads too (suffixed npz + images_8).
+    scene8 = load_scene(out, cfg, "train", factor=8)
+    assert scene8.images[0].shape == (4, 6, 3)
+
+
+def test_converted_scene_trains_and_evals(tmp_path):
+    """One-command real-data readiness: waymo_convert output -> train CLI ->
+    eval CLI, end to end (round-2 VERDICT item 7)."""
+    frames = [make_frame(t) for t in range(3)]
+
+    def stub_depth(frame, factor, rig_index):
+        h = frame.context.camera_calibrations[0].height // factor
+        w = frame.context.camera_calibrations[0].width // factor
+        d = np.zeros((h, w), np.float32)
+        d[h // 2 :, :] = 10.0 + rig_index
+        return d
+
+    scene = str(tmp_path / "scene")
+    # Factor 2 (16x24 images): SSIM's 11x11 window needs >= 11 px per side.
+    wc.convert_frames(frames, scene, factors=(2,), near=0.1, far=75.0, depth_fn=stub_depth)
+
+    from durf_tpu.configs import load_config
+    from durf_tpu import train as trainlib
+    from durf_tpu import eval as evallib
+
+    overrides = [
+        'Config.dataset_loader = "waymo"',
+        'Config.batching = "timestep"',
+        "Config.factor = 2",
+        "Config.batch_size = 16",
+        "Config.max_steps = 3",
+        "Config.save_every = 3",
+        "Config.print_every = 1",
+        "Config.near = 0.1",
+        "Config.far = 75.",
+        "Config.chunk = 16",
+        "MipNerfModel.num_samples = 4",
+        "MipNerfModel.num_levels = 2",
+        "MipNerfModel.max_deg_point = 3",
+        "MipNerfModel.deg_view = 2",
+        "MipNerfModel.num_objects = 2",
+        "MipNerfModel.timesteps = 3",
+        "MLP.net_depth = 2",
+        "MLP.net_width = 16",
+        "MLP.net_width_condition = 8",
+        "BoxMLP.net_depth = 2",
+        "BoxMLP.net_width = 8",
+        "BoxMLP.net_width_condition = 8",
+    ]
+    config = load_config([], overrides)
+    train_dir = str(tmp_path / "train")
+    trainlib.run_training(config, scene, train_dir, log_fn=lambda *a: None)
+    out = evallib.evaluate(
+        config, scene, train_dir, str(tmp_path / "eval"), log_fn=lambda *a: None
+    )
+    assert np.isfinite(out["psnr"])
+    import os
+
+    assert os.path.exists(str(tmp_path / "eval" / "metrics.json"))
