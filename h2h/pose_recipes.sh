@@ -1,0 +1,62 @@
+#!/bin/bash
+# Joint pose-recovery recipe ledger (docs/STATUS.md round-3 table).
+#
+#   SCENE=/path/to/textured_scene h2h/pose_recipes.sh j_a e1 f1 ...
+#
+# Every recipe is a FULL joint run (field + poses from scratch) on the
+# textured 1-object synthetic scene with box_noise 0.5 m (init pose-MSE
+# 0.2305 m^2); h2h/pose_probe.py is the frozen-field isolation probe that
+# bounds where recovery is possible (alpha=6 window: 0.23 -> 0.036).
+# Generate the scene with (box faces carry a checker texture by default):
+#   python -m durf_tpu.data.synthetic --out $SCENE --timesteps 5 \
+#     --width 320 --height 240 --focal 280 --num_objects 1
+# Run ONE recipe at a time on the TPU (CLAUDE.md trap #6).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SCENE=${SCENE:?set SCENE=path/to/textured_1obj_scene}
+OUT=${OUT:-/tmp/pose_recipes}
+mkdir -p "$OUT"
+
+COMMON=(--data_dir "$SCENE" --gin_file configs/carla_dyn.gin
+  --gin_param "Config.batch_size = 512"
+  --gin_param "Config.factor = 4"
+  --gin_param "Config.random_box = True"
+  --gin_param "Config.box_noise = 0.5"
+  --gin_param "Config.print_every = 2000"
+  --gin_param "MipNerfModel.num_objects = 1"
+  --gin_param "MipNerfModel.no_pose_opt = False"
+  --gin_param 'MipNerfModel.compute_dtype = "bfloat16"'
+  --gin_param "MipNerfModel.use_pallas_mlp = True"
+  --gin_param "MipNerfModel.recurrent_encode = True")
+
+declare -A RECIPES
+# Field-warmup-then-pose family (j_*): all DRIFT (~2x init) — the object MLP
+# entrenches the wrong pose during the warmup.
+RECIPES[j_a]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=6000 Config.alpha_max_steps=10000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=4. Config.pose_lr_delay_steps=1500 Config.pose_lr_ramp_steps=1000 Config.pose_lr_decay_steps=4000'
+RECIPES[j_b]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=6000 Config.alpha_max_steps=10000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=8. Config.pose_lr_delay_steps=1500 Config.pose_lr_ramp_steps=1000 Config.pose_lr_decay_steps=4000'
+# BARF-style family (e_*): pose LR on from step 0 inside a very coarse
+# window, anneal + decay — also DRIFT on this scene.
+RECIPES[e1]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=1. Config.alpha_final=10. Config.alpha_delay_steps=2500 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=2. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=3000 Config.pose_lr_decay_steps=5000'
+RECIPES[e2]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=1. Config.alpha_final=10. Config.alpha_delay_steps=2500 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=2. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=3000 Config.pose_lr_decay_steps=5000'
+# Probe-in-one-run family (f_*): pose frozen 8.5k steps, then the pose LR
+# ramps to ~1e-3 (mult 100 x the late, tiny field LR) against the
+# quasi-static field inside a pinned alpha window, cosine-frozen — the
+# isolation probe's working regime expressed as one continuous schedule.
+RECIPES[f1]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
+RECIPES[f2]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
+RECIPES[f3]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=10. Config.alpha_final=10. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
+
+for name in "$@"; do
+  params=(${RECIPES[$name]:?unknown recipe $name})
+  args=()
+  for kv in "${params[@]}"; do
+    args+=(--gin_param "${kv/=/ = }")
+  done
+  echo "=== RUN $name"
+  rm -rf "$OUT/$name"
+  python -m durf_tpu.train "${COMMON[@]}" --train_dir "$OUT/$name" "${args[@]}"
+  python -m durf_tpu.pose_eval --data_dir "$SCENE" --train_dir "$OUT/$name" \
+    --gin_file configs/carla_dyn.gin --gin_param "Config.random_box = True" \
+    --gin_param "MipNerfModel.num_objects = 1"
+done
