@@ -321,8 +321,22 @@ def make_render_fn(model: MipNerf, config: Config, mesh):
     # jit's replicated output arrives complete on every host.
     bshard = batch_sharding(mesh)
     pc, pid = jax.process_count(), jax.process_index()
+    synced = False
 
     def call(params, rays, init_boxes, ext, ts, alpha):
+        # Align processes before the FIRST render dispatch: the render jit's
+        # collective (the output all-gather) initializes a communicator with
+        # a ~30 s rendezvous deadline, and a compile-cache hit/miss split
+        # between hosts can skew their dispatch past it ("Gloo context
+        # initialization failed: DEADLINE_EXCEEDED"). The barrier is a tiny
+        # computation (seconds to compile even on a miss), so after it every
+        # host starts the big render compile together.
+        nonlocal synced
+        if not synced:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("durf_render_start")
+            synced = True
         def place(x):
             x = np.asarray(x)
             if x.shape[0] % pc != 0:
