@@ -44,6 +44,18 @@ def main():
         "--no-pallas for the plain XLA path)",
     )
     p.add_argument(
+        "--grid_sampling",
+        action="store_true",
+        help="occupancy-grid level-0 sampling (VaxNeRF-style empty-space "
+        "skipping; durf_tpu extension, off in all reference-parity configs)",
+    )
+    p.add_argument(
+        "--use_box_nearfar",
+        action="store_true",
+        help="sample box-hitting rays inside the ray/box intersection "
+        "(the reference computes and discards these bounds — DEFECTS.md #3)",
+    )
+    p.add_argument(
         "--remat",
         action="store_true",
         help="remat the XLA-path MLP forward (jax.checkpoint) — lets "
@@ -93,6 +105,8 @@ def _run(args):
     config.model.recurrent_encode = args.recurrent_encode
     config.model.fused_objects = args.fused_objects
     config.model.remat_mlp = args.remat
+    config.model.grid_sampling = args.grid_sampling
+    config.model.use_box_nearfar = args.use_box_nearfar
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
