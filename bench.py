@@ -79,6 +79,13 @@ def main():
     )
     args = p.parse_args()
 
+    # Serialize TPU client launches across processes (CLAUDE.md trap #6:
+    # concurrent/killed clients orphan server-side compiles and can wedge
+    # the chip claim for 45+ min).
+    from durf_tpu.tpu_lock import acquire_tpu_lock
+
+    acquire_tpu_lock()
+
     for attempt in range(3):
         try:
             return _run(args)

@@ -99,6 +99,7 @@ class RayDataset:
         self._step = 0  # drives the c2f factor selection
         self._test_it = 0
         self._peeked: dict | None = None  # consumer-side slot filled by peek()
+        self._dead: BaseException | None = None  # producer failure, sticky
 
         self._queue: queue.Queue = queue.Queue(prefetch)
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -110,6 +111,13 @@ class RayDataset:
         return self
 
     def __next__(self) -> dict:
+        if self._dead is not None:
+            # The producer already died and delivered its one sentinel; every
+            # later call (a retrying caller, a second consumer) must fail the
+            # same way instead of blocking forever on the empty queue.
+            raise RuntimeError(
+                f"ray-batch producer thread died: {self._dead!r}"
+            ) from self._dead
         if self._peeked is not None:
             batch, self._peeked = self._peeked, None
             return batch
@@ -119,6 +127,7 @@ class RayDataset:
                 # Re-raise a producer failure in the consumer thread instead
                 # of hanging forever on an empty queue (the reference shares
                 # this hang — obbpose_dataset.py:97-103 has no except either).
+                self._dead = batch.cause
                 raise RuntimeError(
                     f"ray-batch producer thread died: {batch.cause!r}"
                 ) from batch.cause

@@ -4,6 +4,14 @@ Behavioral parity with reference internal/mip.py:76-179 (also duplicated at
 internal/mip360.py:205-308). The "stable" frustum moments algebra is
 mandatory: the naive closed form catastrophically cancels in fp32
 (reference mip.py:111-112 docstring).
+
+Provenance: the stable conical-frustum moment formulas (the
+t_mean/t_var/r_var algebra in conical_frustum_to_gaussian) follow
+reference mip.py:76-139,
+itself UNMODIFIED Google mip-NeRF (github.com/google/mipnerf, Apache-2.0,
+internal/mip.py) — published closed-form math (mip-NeRF paper eq. 7) with
+one canonical expression. The coordinate-major variants and
+diagonal-covariance fast path are this repo's.
 """
 
 from __future__ import annotations

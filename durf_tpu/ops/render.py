@@ -4,6 +4,13 @@ Behavioral parity with reference internal/mip.py:285-327 and
 internal/mip360.py:126-157, with one fix: the 'random' background actually
 composites a random color — the reference's random.randint(..., 0.0, 1.0)
 always yields black (mip.py:324; see docs/DEFECTS.md).
+
+Provenance: the alpha-compositing weight recurrence (compute_weights)
+follows reference mip.py:285-307, itself vendored from Google's Apache-2.0
+mip-NeRF (github.com/google/mipnerf, internal/mip.py
+`volumetric_rendering`) — the exp/cumsum transmittance form is the standard
+NeRF estimator with one canonical expression. The cm (coordinate-major)
+variant and the URF depth contract notes are this repo's.
 """
 
 from __future__ import annotations

@@ -1,6 +1,15 @@
 """Stratified and hierarchical (inverse-CDF) sampling along rays.
 
 Behavioral parity with reference internal/mip.py:330-416.
+
+Provenance: the stratified-jitter and blurpool (max-of-neighbors weight
+padding) blocks follow reference mip.py:361-367 and 395-401, which are
+themselves UNMODIFIED Google mip-NeRF (github.com/google/mipnerf,
+Apache-2.0, internal/mip.py `sample_along_rays`/`resample_along_rays`);
+the algorithm has essentially one natural ~8-line expression. This file
+extends it with coordinate-major and diagonal-covariance variants; the
+inverse-CDF draw itself is mathx.sorted_piecewise_constant_pdf's
+independently derived matmul-bracket formulation.
 """
 
 from __future__ import annotations

@@ -64,6 +64,10 @@ def main(argv=None):
     p.add_argument("--gin_file", action="append", default=[])
     p.add_argument("--gin_param", action="append", default=[])
     args = p.parse_args(argv)
+    # One TPU client per box at a time (tpu_lock.py; CLAUDE.md trap #6).
+    from durf_tpu.tpu_lock import acquire_tpu_lock
+
+    acquire_tpu_lock()
     config = load_config(args.gin_file, args.gin_param)
     evaluate_poses(config, args.data_dir, args.train_dir)
 

@@ -132,6 +132,10 @@ def main(argv=None):
     p.add_argument("--timestep", type=int, default=0)
     p.add_argument("--chunk", type=int, default=None)
     args = p.parse_args(argv)
+    # One TPU client per box at a time (tpu_lock.py; CLAUDE.md trap #6).
+    from durf_tpu.tpu_lock import acquire_tpu_lock
+
+    acquire_tpu_lock()
     config = load_config(args.gin_file, args.gin_param)
     if args.chunk is not None:
         config.chunk = args.chunk

@@ -91,7 +91,7 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
     tx = optax.adam(learning_rate=lambda count: lr_fn(count + 1))
     delay, ramp = config.pose_lr_delay_steps, max(config.pose_lr_ramp_steps, 1)
     decay = config.pose_lr_decay_steps
-    if config.pose_lr_mult != 1.0 or delay > 0 or decay > 0:
+    if config.pose_lr_mult != 1.0 or delay > 0 or decay > 0 or ramp > 1:
 
         def pose_scale(count):
             # 1-indexed like the schedules above; 0 until the delay, then a
@@ -102,7 +102,12 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
             # inside the coarse BARF window, then freeze it before the
             # random-walk phase.
             step = count + 1
-            gate = jnp.clip((step - delay) / ramp, 0.0, 1.0) if delay > 0 else 1.0
+            # Applied unconditionally: with delay=0 and ramp_steps=0 (ramp=1)
+            # this is 1.0 from the first update, so parity defaults are
+            # unchanged — but a BARF-style `delay=0, ramp>1` recipe now
+            # actually ramps instead of silently running at full pose LR
+            # (round-3 advisor finding; the e1/e2 ledger rows predate this).
+            gate = jnp.clip((step - delay) / ramp, 0.0, 1.0)
             if decay > 0:
                 t = jnp.clip((step - delay - ramp) / decay, 0.0, 1.0)
                 gate = gate * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
@@ -445,7 +450,9 @@ def run_training(
         log_fn(f"device-resident data: {device_data.pool_bytes(dataset) >> 20} MiB of pools")
     else:
         train_step = jax.jit(step_body, donate_argnums=(0,))
-    rmesh = eval_mesh(mesh)  # host-local under multihost (device_put'd chunks)
+    rmesh = eval_mesh(mesh)  # the global training mesh: eval chunks are
+    # host-split via make_array_from_process_local_data and all-gathered
+    # inside the render jit (see render_image / eval_mesh).
     render_chunk = make_render_fn(model, config, rmesh)
     alpha_fn = make_alpha_schedule(config)
 
@@ -568,6 +575,10 @@ def main(argv=None):
         help="capture an xprof trace of the first ~20 post-warmup steps here",
     )
     args = p.parse_args(argv)
+    # One TPU client per box at a time (tpu_lock.py; CLAUDE.md trap #6).
+    from durf_tpu.tpu_lock import acquire_tpu_lock
+
+    acquire_tpu_lock()
     if args.multihost:
         jax.distributed.initialize()
     if args.profile_dir:

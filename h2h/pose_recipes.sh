@@ -35,10 +35,17 @@ declare -A RECIPES
 # entrenches the wrong pose during the warmup.
 RECIPES[j_a]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=6000 Config.alpha_max_steps=10000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=4. Config.pose_lr_delay_steps=1500 Config.pose_lr_ramp_steps=1000 Config.pose_lr_decay_steps=4000'
 RECIPES[j_b]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=6000 Config.alpha_max_steps=10000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=8. Config.pose_lr_delay_steps=1500 Config.pose_lr_ramp_steps=1000 Config.pose_lr_decay_steps=4000'
+RECIPES[j_c]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=8000 Config.alpha_max_steps=10000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=6. Config.pose_lr_delay_steps=2500 Config.pose_lr_ramp_steps=1000 Config.pose_lr_decay_steps=4000'
+RECIPES[j_d]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=6000 Config.alpha_max_steps=10000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=2. Config.pose_lr_delay_steps=1000 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=6000'
 # BARF-style family (e_*): pose LR on from step 0 inside a very coarse
 # window, anneal + decay — also DRIFT on this scene.
 RECIPES[e1]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=1. Config.alpha_final=10. Config.alpha_delay_steps=2500 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=2. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=3000 Config.pose_lr_decay_steps=5000'
 RECIPES[e2]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=1. Config.alpha_final=10. Config.alpha_delay_steps=2500 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=2. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=3000 Config.pose_lr_decay_steps=5000'
+RECIPES[e3]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=1. Config.alpha_final=10. Config.alpha_delay_steps=4000 Config.alpha_max_steps=9000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=4. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=4000 Config.pose_lr_decay_steps=4000'
+# NOTE: the round-3 e1/e2/e3 ledger rows ran BEFORE the pose-LR ramp fix
+# (train.py make_optimizer): with delay=0 the ramp was silently skipped, so
+# those recorded drifts used FULL pose LR from step 1. Re-runs under the
+# fixed gate genuinely ramp (see tests/test_train.py ramp test).
 # Probe-in-one-run family (f_*): pose frozen 8.5k steps, then the pose LR
 # ramps to ~1e-3 (mult 100 x the late, tiny field LR) against the
 # quasi-static field inside a pinned alpha window, cosine-frozen — the

@@ -194,6 +194,11 @@ class TestRayDataset:
         with pytest.raises(RuntimeError, match="producer thread died"):
             for _ in range(10):
                 next(ds)
+        # The failure is sticky: a retrying caller (or second consumer) must
+        # get the same error immediately, not block forever on the drained
+        # queue (round-3 advisor finding).
+        with pytest.raises(RuntimeError, match="producer thread died"):
+            next(ds)
 
 
 def test_carla_seq_single_camera_grouping(scene_dir):

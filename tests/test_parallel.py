@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from durf_tpu.data.synthetic import example_ray_batch
 from durf_tpu.models import construct_model
@@ -97,6 +98,7 @@ def test_graft_dryrun_entrypoint():
     g.dryrun_multichip(4)
 
 
+@pytest.mark.multihost
 def test_multihost_two_process_train_step(tmp_path):
     # Prove the multi-host (DCN) path (VERDICT round-1 item 6): two real OS
     # processes x 4 virtual CPU devices each run ONE sharded train step over

@@ -241,3 +241,32 @@ def test_pose_lr_delay_gates_pose_updates():
     assert pose_mags[3] > 0.0 and pose_mags[4] > pose_mags[3] * 1.5
     assert abs(pose_mags[5] / mlp_mags[5] - cfg.pose_lr_mult) < 0.05 * cfg.pose_lr_mult
     assert all(m > 0 for m in mlp_mags)
+
+
+def test_pose_lr_ramp_applies_without_delay():
+    """BARF-style recipe: delay=0 with ramp>1 must actually ramp from step 1
+    (round-3 advisor medium: the old gate hard-set 1.0 whenever delay == 0,
+    so `delay=0, ramp=3000` silently ran at full pose LR)."""
+    import jax.numpy as jnp
+
+    from durf_tpu.train import make_optimizer
+
+    cfg = tiny_train_config()
+    cfg.pose_lr_mult = 1.0
+    cfg.pose_lr_delay_steps = 0
+    cfg.pose_lr_ramp_steps = 4
+    tx = make_optimizer(cfg)
+
+    params = {"box_centers": jnp.ones((2, 1, 6)), "mlp": {"w": jnp.ones((4, 4))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+
+    ratios = []
+    for _ in range(5):
+        updates, state = tx.update(grads, state, params)
+        ratios.append(
+            float(jnp.abs(updates["box_centers"]).max())
+            / float(jnp.abs(updates["mlp"]["w"]).max())
+        )
+    # 1-indexed steps 1..5, ramp 4: gates 1/4, 2/4, 3/4, 1, 1.
+    np.testing.assert_allclose(ratios, [0.25, 0.5, 0.75, 1.0, 1.0], rtol=1e-5)
