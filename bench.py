@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 # Persistent compilation cache (first compile of the big train step is slow).
@@ -86,14 +87,22 @@ def main():
 
     acquire_tpu_lock()
 
-    for attempt in range(3):
-        try:
-            return _run(args)
-        except jax.errors.JaxRuntimeError as e:  # transient axon backend hiccups
-            if attempt == 2:
-                raise
-            print(f"# retrying after backend error: {e}", flush=True)
-            time.sleep(10)
+    # Backend-init failures (PJRT client init — the exact rc=1 that cost
+    # round 3 its BENCH number) are cached in-process by jax, so an in-process
+    # retry can never recover; re-exec for a genuinely fresh client. The flock
+    # fd is CLOEXEC (PEP 446), so the lock releases on exec and the fresh
+    # process re-acquires it.
+    attempt = int(os.environ.get("DURF_BENCH_ATTEMPT", "0"))
+    try:
+        return _run(args)
+    except RuntimeError as e:  # includes JaxRuntimeError (axon hiccups)
+        if attempt >= 2:
+            raise
+        print(f"# re-exec after backend error (attempt {attempt}): {e}", flush=True)
+        time.sleep(30 * (attempt + 1))
+        os.environ["DURF_BENCH_ATTEMPT"] = str(attempt + 1)
+        sys.stdout.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
 def _run(args):

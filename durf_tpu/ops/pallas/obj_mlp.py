@@ -335,6 +335,27 @@ def _obj_bwd(config, s_per_ray, tile, interpret, residuals, grads):
 fused_obj_mlp.defvjp(_obj_fwd, _obj_bwd)
 
 
+def fused_obj_vmem_ok(params, config, budget_bytes: int = 32 * 1024 * 1024) -> bool:
+    """Scaling-envelope guard for the objects-in-grid backward.
+
+    The backward keeps the FULL stacked weight-grad blocks VMEM-resident
+    across the whole sequential grid (constant index maps; they flush once
+    at the end) — ~0.65 MB fp32 per 128-wide object, so the flagship
+    N_obj=2 uses ~1.3 MB of the kernel's 96 MB limit. The reference
+    supports arbitrary object counts (obbpose_model.py:174-201), so above
+    this budget the model must fall back to the vmapped per-object kernels
+    (models/mipnerf.py gates `use_fused_obj` on this predicate) instead of
+    failing Mosaic VMEM allocation at compile time. 32 MB leaves the other
+    ~64 MB for the recomputed activations + vjp residuals of a 1024-sample
+    tile; it admits ~48 stacked 128-wide object MLPs.
+    """
+    del config  # the dw stack mirrors the param tree leaf-for-leaf
+    dw_bytes = sum(
+        4 * math.prod(leaf.shape) for leaf in jax.tree.leaves(params)
+    )  # fp32 stacked weight-grad blocks, one per param leaf
+    return dw_bytes <= budget_bytes
+
+
 def obj_mlps_apply(
     params,
     config,

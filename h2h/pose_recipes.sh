@@ -53,6 +53,13 @@ RECIPES[e3]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every
 RECIPES[f1]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
 RECIPES[f2]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
 RECIPES[f3]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=10. Config.alpha_final=10. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
+# f4: f1 + object-region gradient boost (box_loss_mult up-weights rgb+depth
+# inside the projected box on dynamic rays — VERDICT item-2's untried lever).
+RECIPES[f4]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.box_loss_mult=5.'
+# f5: f1 + post-recovery sharpen — hold alpha 6 through the pose window,
+# then anneal to 10 with the pose already cosine-frozen, so the field
+# re-fits fine detail at the corrected pose.
+RECIPES[f5]='Config.max_steps=13000 Config.eps_max_steps=13000 Config.save_every=13000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=11000 Config.alpha_max_steps=13000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
 
 for name in "$@"; do
   params=(${RECIPES[$name]:?unknown recipe $name})

@@ -109,6 +109,84 @@ def test_gradients_match_vmapped_path(setup):
         )
 
 
+@pytest.mark.parametrize("n_obj", [4, 8])
+def test_many_objects_match_vmapped(n_obj):
+    """Scaling envelope beyond the flagship N_obj=2 (round-3 VERDICT weak #7):
+    value- and gradient-level equivalence at 4 and 8 stacked object MLPs."""
+    cfg = MLPConfig(net_depth=3, net_width=16, net_width_condition=16)
+    rng = np.random.default_rng(n_obj)
+    b, s, f_in, f_c = 16, 4, 31, 11
+    enc = jnp.asarray(rng.normal(size=(b, s, f_in)), jnp.float32)
+    cond = jnp.asarray(rng.normal(size=(b, f_c)), jnp.float32)
+    hit = jnp.asarray(rng.integers(0, 2, size=(b, n_obj)), jnp.float32)
+    vm = nn.vmap(
+        NerfMLP,
+        in_axes=(None, None),
+        out_axes=0,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        axis_size=n_obj,
+    )(cfg, compute_dtype=jnp.bfloat16)
+    variables = vm.init(jax.random.key(n_obj), enc, cond)
+
+    rgb_r, den_r = _ref_masked_sum(vm, variables, enc, cond, hit)
+    rgb_f, den_f = _fused(variables["params"], cfg, enc, cond, hit)
+    np.testing.assert_allclose(np.asarray(rgb_f), np.asarray(rgb_r), atol=3e-2)
+    np.testing.assert_allclose(np.asarray(den_f), np.asarray(den_r), atol=3e-2)
+
+    def loss_ref(params):
+        rgb, den = _ref_masked_sum(vm, {"params": params}, enc, cond, hit)
+        return jnp.sum(rgb**2) + jnp.sum(den**2)
+
+    def loss_fused(params):
+        rgb, den = _fused(params, cfg, enc, cond, hit)
+        return jnp.sum(rgb**2) + jnp.sum(den**2)
+
+    ga = jax.grad(loss_ref)(variables["params"])
+    gb = jax.grad(loss_fused)(variables["params"])
+    # bf16 summation-order differences can flip near-zero relu
+    # pre-activations, drifting ISOLATED grad elements by O(1e-1) (same
+    # effect as test_gradients_match_vmapped_path, more likely with more
+    # stacked objects): bound the outlier fraction and magnitude instead of
+    # a single atol.
+    for a, b_ in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        diff = np.abs(np.asarray(a, np.float32) - np.asarray(b_, np.float32))
+        tol = 1.2e-1 + 2e-2 * np.abs(np.asarray(a, np.float32))
+        frac_bad = float((diff > tol).mean())
+        assert frac_bad <= 0.005, (frac_bad, float(diff.max()))
+        # Outlier magnitude cap scales with the leaf's gradient range (the
+        # loss — and so the flip magnitude — grows with object count).
+        cap = max(0.5, 0.05 * float(np.abs(np.asarray(a, np.float32)).max()))
+        assert float(diff.max()) <= cap, (float(diff.max()), cap)
+
+
+def test_vmem_guard_admits_flagship_and_rejects_oversize():
+    from durf_tpu.ops.pallas.obj_mlp import fused_obj_vmem_ok
+
+    def stacked_params(n_obj, width, cond_w=16, depth=4, f_in=63, f_c=27):
+        vm = nn.vmap(
+            NerfMLP,
+            in_axes=(None, None),
+            out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            axis_size=n_obj,
+        )(MLPConfig(net_depth=depth, net_width=width, net_width_condition=cond_w))
+        enc = jnp.zeros((2, 2, f_in))
+        cond = jnp.zeros((2, f_c))
+        return vm.init(jax.random.key(0), enc, cond)["params"], MLPConfig(
+            net_depth=depth, net_width=width, net_width_condition=cond_w
+        )
+
+    p2, c2 = stacked_params(2, 128, cond_w=128)  # flagship point
+    assert fused_obj_vmem_ok(p2, c2)
+    p8, c8 = stacked_params(8, 128, cond_w=128)  # VERDICT's N_obj=8 ask
+    assert fused_obj_vmem_ok(p8, c8)
+    # Oversize: stacked dw blocks past the 32 MB budget must fall back.
+    pbig, cbig = stacked_params(24, 512, cond_w=128, depth=6)
+    assert not fused_obj_vmem_ok(pbig, cbig)
+
+
 def test_all_miss_rays_contribute_zero(setup):
     cfg, enc, cond, hit, vm, variables = setup
     rgb, den = _fused(variables["params"], cfg, enc, cond, jnp.zeros_like(hit))
