@@ -212,6 +212,14 @@ class Config:
     # pose inside the coarse BARF window, then freeze it — without decay the
     # recovered pose random-walks away again (docs/DESIGN.md).
     pose_lr_decay_steps: int = 0
+    # Hard-freeze every NON-pose parameter while the pose window is active
+    # (steps in (delay, delay+ramp+decay]; to the end of the run if decay=0).
+    # This reproduces the isolation probe's PROVEN regime — pose optimized
+    # against a genuinely static field (0.23 -> 0.036 pose-MSE) — inside one
+    # continuous run. The mult-only f recipes approximate it with a tiny late
+    # field LR, which still lets the object MLP absorb pose error (the ~2x
+    # drift failure mode in the round-3 ledger).
+    pose_freeze_field: bool = False
     checkpoint_keep: int = 100
     data_parallel_axis: str = "data"
     model: ModelConfig = field(default_factory=ModelConfig)

@@ -126,6 +126,33 @@ def make_optimizer(config: Config) -> optax.GradientTransformation:
                 ),
             ),
         )
+    if config.pose_freeze_field:
+        # Probe-regime freeze: while the pose window is active, every
+        # non-pose update is scaled to 0, so the pose optimizes against a
+        # genuinely static field (the isolation probe's working regime —
+        # docs/STATUS.md; the mult-only recipes leave a tiny field LR that
+        # lets the object MLP re-absorb the pose error). Field training
+        # resumes after the decay window (never, if decay == 0).
+
+        def field_scale(count):
+            step = count + 1  # 1-indexed like the schedules above
+            active = (step > delay).astype(jnp.float32)
+            if decay > 0:
+                active = active * (step <= delay + ramp + decay).astype(jnp.float32)
+            return 1.0 - active
+
+        tx = optax.chain(
+            tx,
+            optax.masked(
+                optax.scale_by_schedule(field_scale),
+                lambda params: jax.tree.map_with_path(
+                    lambda path, _: not any(
+                        getattr(k, "key", None) == "box_centers" for k in path
+                    ),
+                    params,
+                ),
+            ),
+        )
     return tx
 
 

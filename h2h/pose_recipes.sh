@@ -60,6 +60,14 @@ RECIPES[f4]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every
 # then anneal to 10 with the pose already cosine-frozen, so the field
 # re-fits fine detail at the corrected pose.
 RECIPES[f5]='Config.max_steps=13000 Config.eps_max_steps=13000 Config.save_every=13000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=11000 Config.alpha_max_steps=13000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500'
+# f6: f1 + pose_freeze_field — the isolation probe's EXACT regime (pose vs a
+# hard-frozen field, not merely a tiny late field LR) as one continuous run.
+# The probe recovered 0.23 -> 0.036 under this; the mult-only recipes leave
+# the object MLP free to re-absorb the pose error.
+RECIPES[f6]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.pose_freeze_field=True'
+# f7: f6 + post-window sharpen — field resumes after the pose freeze (2k
+# extra steps, alpha annealed 6->10) to re-fit detail at the corrected pose.
+RECIPES[f7]='Config.max_steps=13000 Config.eps_max_steps=13000 Config.save_every=13000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=11000 Config.alpha_max_steps=13000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.pose_freeze_field=True'
 
 for name in "$@"; do
   params=(${RECIPES[$name]:?unknown recipe $name})

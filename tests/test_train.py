@@ -270,3 +270,67 @@ def test_pose_lr_ramp_applies_without_delay():
         )
     # 1-indexed steps 1..5, ramp 4: gates 1/4, 2/4, 3/4, 1, 1.
     np.testing.assert_allclose(ratios, [0.25, 0.5, 0.75, 1.0, 1.0], rtol=1e-5)
+
+
+def test_pose_freeze_field_zeroes_non_pose_updates_in_window():
+    """pose_freeze_field: NON-pose params stop updating exactly while the
+    pose window is active — the isolation probe's static-field regime as one
+    continuous run (probe recovered 0.23 -> 0.036 pose-MSE; the mult-only
+    recipes leave a tiny field LR and drift — round-3 STATUS ledger)."""
+    import jax.numpy as jnp
+
+    from durf_tpu.train import make_optimizer
+
+    cfg = tiny_train_config()
+    cfg.pose_lr_mult = 2.0
+    cfg.pose_lr_delay_steps = 2
+    cfg.pose_lr_ramp_steps = 1
+    cfg.pose_lr_decay_steps = 2
+    cfg.pose_freeze_field = True
+    tx = make_optimizer(cfg)
+
+    params = {"box_centers": jnp.ones((2, 1, 6)), "mlp": {"w": jnp.ones((4, 4))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+
+    pose_mags, mlp_mags = [], []
+    for _ in range(7):
+        updates, state = tx.update(grads, state, params)
+        pose_mags.append(float(jnp.abs(updates["box_centers"]).max()))
+        mlp_mags.append(float(jnp.abs(updates["mlp"]["w"]).max()))
+
+    # 1-indexed steps 1..7, delay 2 / ramp 1 / decay 2: the pose window is
+    # active on steps 3..5; the field must train on 1-2, freeze on 3-5, and
+    # resume on 6-7.
+    assert mlp_mags[0] > 0 and mlp_mags[1] > 0
+    assert mlp_mags[2] == 0.0 and mlp_mags[3] == 0.0 and mlp_mags[4] == 0.0
+    assert mlp_mags[5] > 0 and mlp_mags[6] > 0
+    # The pose moves only inside its window (and the decay tail ends at 0).
+    assert pose_mags[0] == 0.0 and pose_mags[1] == 0.0
+    assert pose_mags[2] > 0.0 and pose_mags[3] > 0.0
+    assert pose_mags[5] == 0.0 and pose_mags[6] == 0.0
+
+
+def test_pose_freeze_field_without_decay_freezes_to_end():
+    import jax.numpy as jnp
+
+    from durf_tpu.train import make_optimizer
+
+    cfg = tiny_train_config()
+    cfg.pose_lr_mult = 1.0
+    cfg.pose_lr_delay_steps = 3
+    cfg.pose_lr_ramp_steps = 1
+    cfg.pose_lr_decay_steps = 0
+    cfg.pose_freeze_field = True
+    tx = make_optimizer(cfg)
+
+    params = {"box_centers": jnp.ones((2, 1, 6)), "mlp": {"w": jnp.ones((4, 4))}}
+    grads = jax.tree.map(jnp.ones_like, params)
+    state = tx.init(params)
+
+    mlp_mags = []
+    for _ in range(6):
+        updates, state = tx.update(grads, state, params)
+        mlp_mags.append(float(jnp.abs(updates["mlp"]["w"]).max()))
+    # delay 3, decay 0: field trains steps 1-3, frozen from step 4 onward.
+    assert all(m > 0 for m in mlp_mags[:3]) and all(m == 0.0 for m in mlp_mags[3:])
