@@ -184,6 +184,14 @@ class Config:
     far: float = 6.0
     coarse_loss_mult: float = 0.1
     box_loss_mult: float = 0.0
+    # Object-centering prior (durf_tpu extension; no reference analogue):
+    # penalize the density-weighted centroid of each object's CANONICAL-frame
+    # samples. Photometric data pins the object in world space, so the
+    # canonical centroid reads out the box-pose error directly — this is the
+    # restoring force the photometric loss cannot provide for joint pose
+    # recovery (the round-3/4 ledger shows every schedule-only recipe
+    # drifting in the flat along-ray direction). 0.0 = off (reference parity).
+    centering_loss_mult: float = 0.0
     weight_decay_mult: float = 0.0
     white_bkgd: bool = False
     rand_bkgd: bool = True

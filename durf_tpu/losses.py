@@ -153,6 +153,7 @@ def compute_losses(
             "sky",
             "distortion",
             "tv",
+            "centering",
             "offset",
             "offset_x",
             "offset_y",
@@ -181,6 +182,15 @@ def compute_losses(
 
         # Temporal smoothness vs the adjacent timestep's pose.
         per_level["tv"].append(((pose - prev_pose[:, :3]) ** 2).sum())
+
+        # Object-centering prior: ||density-weighted canonical centroid||^2
+        # per object (models/mipnerf.py returns it for dynamic scenes; see
+        # Config.centering_loss_mult — 0.0 keeps reference parity).
+        per_level["centering"].append(
+            (level["obj_centroid"] ** 2).sum()
+            if "obj_centroid" in level
+            else jnp.zeros(())
+        )
 
         # Rays whose GT depth lies inside an object box get the box boost.
         box_mask = (gt_depth < level["z_out"]).astype(jnp.float32)
@@ -219,5 +229,8 @@ def compute_losses(
     total += agg(aux["near"], config.near_loss_mult, 0.1 * config.near_loss_mult)
     total += agg(aux["empty"], config.empty_loss_mult, 0.1 * config.empty_loss_mult)
     total += agg(aux["tv"], config.tv_loss_mult, 0.1 * config.tv_loss_mult)
+    total += agg(
+        aux["centering"], config.centering_loss_mult, 0.1 * config.centering_loss_mult
+    )
     total += agg(aux["distortion"], config.distortion_loss_mult, config.distortion_loss_mult)
     return total, aux

@@ -342,6 +342,45 @@ class MipNerf(nn.Module):
                     obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
                     obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
 
+                # Object-centering prior (durf_tpu extension; no reference
+                # analogue): density-weighted centroid of each object's
+                # CANONICAL-frame samples. Box-hitting rays sample in the
+                # object frame (origins_s/dirs_s, :123-124), so raw_mean IS
+                # the canonical coordinate there; photometric data pins the
+                # object in world space, hence the centroid reads out the
+                # box-pose error directly. Weights are stop-gradiented so
+                # Config.centering_loss_mult moves the POSE, never the field
+                # (rays hitting two boxes misattribute the summed density to
+                # both centroids — rare, bounded noise). [N_obj, 3], meters.
+                sigma_act = get_activation(cfg.density_activation)
+                hit_ob = hit.T[:, :, None].astype(jnp.float32)  # [N_obj, B, 1]
+                # Composite rays span the full [near, far], so hit rays carry
+                # canonical samples far OUTSIDE the slab (where the object MLP
+                # models the background those rays see); restrict the centroid
+                # to in-slab samples (|x| <= ext, a 0/1 constant w.r.t. the
+                # gradient) so it measures the OBJECT's offset only.
+                x32 = raw_mean.astype(jnp.float32)
+                if cm:
+                    sigma_o = sigma_act(
+                        obj_densities[0].astype(jnp.float32) + cfg.density_bias
+                    )  # [B, S]
+                    in_slab = jnp.all(
+                        jnp.abs(x32)[None] <= ext[:, :, None, None], axis=1
+                    ).astype(jnp.float32)  # [N_obj, B, S]
+                    w_obs = lax.stop_gradient(sigma_o)[None] * hit_ob * in_slab
+                    cent_num = jnp.einsum("obs,cbs->oc", w_obs, x32)
+                else:
+                    sigma_o = sigma_act(
+                        obj_densities[..., 0].astype(jnp.float32) + cfg.density_bias
+                    )
+                    in_slab = jnp.all(
+                        jnp.abs(x32)[None] <= ext[:, None, None, :], axis=-1
+                    ).astype(jnp.float32)  # [N_obj, B, S]
+                    w_obs = lax.stop_gradient(sigma_o)[None] * hit_ob * in_slab
+                    cent_num = jnp.einsum("obs,bsc->oc", w_obs, x32)
+                cent_den = lax.stop_gradient(w_obs.sum(axis=(1, 2)))[:, None]
+                obj_centroid = cent_num / (cent_den + 1e-6)  # [N_obj, 3]
+
                 # Background gets the complement mask, clamped at 0: the
                 # reference's unclamped 1 - Σhit goes to -1 when a ray hits
                 # two boxes, flipping the covariance negative and blowing up
@@ -435,6 +474,8 @@ class MipNerf(nn.Module):
                     positions_c=positions_c,
                     grid_weights=lax.stop_gradient(grid_weights),
                 )
+            if dynamics:
+                level_out["obj_centroid"] = obj_centroid
             ret.append(
                 dict(
                     **level_out,

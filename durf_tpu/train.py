@@ -287,7 +287,17 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
         }
         for i in range(config.model.num_levels):
             stats[f"train/psnr_level{i}"] = psnrs[i]
-            for k in ("rgb", "depth", "near", "empty", "sky", "distortion", "tv", "obj_rgb"):
+            for k in (
+                "rgb",
+                "depth",
+                "near",
+                "empty",
+                "sky",
+                "distortion",
+                "tv",
+                "centering",
+                "obj_rgb",
+            ):
                 stats[f"loss/{k}_{i}"] = aux[k][i]
             stats[f"pose/offset_{i}"] = aux["offset"][i]
             stats[f"pose/offset_yaw_{i}"] = aux["offset_yaw"][i]

@@ -68,6 +68,21 @@ RECIPES[f6]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every
 # f7: f6 + post-window sharpen — field resumes after the pose freeze (2k
 # extra steps, alpha annealed 6->10) to re-fit detail at the corrected pose.
 RECIPES[f7]='Config.max_steps=13000 Config.eps_max_steps=13000 Config.save_every=13000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=11000 Config.alpha_max_steps=13000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.pose_freeze_field=True'
+# Centering-prior family (g_*): Config.centering_loss_mult penalizes the
+# density-weighted canonical-frame centroid of each object — the direct
+# pose-error readout the photometric loss lacks (round-4 finding: f6's hard
+# field freeze STILL drifts, because after warmup the field is consistent
+# with the wrong pose and the photometric landscape is flat along the ray).
+# g1: plain joint run + centering, yaw frozen.
+RECIPES[g1]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
+# g2: g1 with yaw free.
+RECIPES[g2]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
+# g3: g1 at centering 0.1 (sensitivity: does a weak prior still recover?).
+RECIPES[g3]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=0.1'
+# g4: entrenchment rescue — f1's late-window schedule + centering (the
+# centroid reads the pose error out of the already-fitted field, so the
+# prior should recover even after the warmup entrenches the wrong pose).
+RECIPES[g4]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.centering_loss_mult=1.'
 
 for name in "$@"; do
   params=(${RECIPES[$name]:?unknown recipe $name})

@@ -1,0 +1,191 @@
+"""Object-centering prior: canonical-frame centroid + its exact pose gradient.
+
+The prior (Config.centering_loss_mult; models/mipnerf.py 'obj_centroid') is a
+durf_tpu extension with no reference analogue: the reference's joint pose
+optimization (obbpose_model.py:88, README.md:43-46) relies on photometric
+gradients alone, which the round-2/3 recipe ledgers show drifting ~2x on both
+implementations. The centroid of the object's canonical-frame density reads
+out the box-pose error directly and supplies the missing restoring force.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from durf_tpu import losses
+from durf_tpu import ops
+from durf_tpu.configs import Config, MLPConfig, ModelConfig
+from durf_tpu.models import construct_model
+from durf_tpu.rays import Rays
+
+
+def small_config(**kw) -> ModelConfig:
+    base = dict(
+        num_samples=8,
+        num_levels=2,
+        max_deg_point=3,
+        deg_view=2,
+        num_objects=1,
+        timesteps=3,
+        density_noise=0.0,
+        contraction=False,
+        mlp=MLPConfig(net_depth=2, net_width=16, net_width_condition=8),
+        box_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def hitting_batch(n_rays=6, rotvec=(0.0, 0.0, 0.3)):
+    """Rays from the origin through a rotated box at z = -5."""
+    rng = np.random.default_rng(3)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32) * 0.05
+    dirs[:, 2] = -1.0
+    ones = np.ones((n_rays, 1), np.float32)
+    rays = Rays(
+        origins=jnp.zeros((n_rays, 3), jnp.float32),
+        directions=jnp.asarray(dirs),
+        viewdirs=jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)),
+        radii=jnp.asarray(ones * 0.01),
+        lossmult=jnp.asarray(ones),
+        near=ones * 0.1,
+        far=ones * 10.0,
+    )
+    init = np.zeros((3, 1, 6), np.float32)
+    init[:, 0, :3] = [0.1, -0.2, -5.0]
+    init[:, 0, 3:] = rotvec
+    return {
+        "rays": rays,
+        "init": jnp.asarray(init),
+        "ext": jnp.full((1, 3), 2.0),
+        "ts": jnp.asarray(1),
+    }
+
+
+def apply_model(model, variables, batch, **kw):
+    return model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("cm", [False, True])
+def test_centroid_shape_inside_box(cm):
+    cfg = small_config(coord_major=cm)
+    batch = hitting_batch()
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = apply_model(model, variables, batch)
+    for level in out:
+        cent = np.asarray(level["obj_centroid"])
+        assert cent.shape == (1, 3)
+        assert np.all(np.isfinite(cent))
+        # The weighted mean of in-slab canonical samples lies inside the box.
+        assert np.all(np.abs(cent) <= np.asarray(batch["ext"]) + 1e-4)
+
+
+def test_coord_major_centroid_matches_row_major():
+    batch = hitting_batch()
+    cents = []
+    for cm in (False, True):
+        cfg = small_config(coord_major=cm)
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+        out = apply_model(model, variables, batch)
+        cents.append(np.stack([np.asarray(lv["obj_centroid"]) for lv in out]))
+    np.testing.assert_allclose(cents[0], cents[1], rtol=1e-5, atol=1e-6)
+
+
+def test_static_model_has_no_centroid():
+    cfg = small_config(dynamics=False)
+    batch = hitting_batch()
+    static = {"rays": batch["rays"], "init": None, "ext": None, "ts": None}
+    model, variables = construct_model(jax.random.key(0), static, cfg)
+    out = model.apply(
+        variables,
+        rng=jax.random.key(1),
+        rays=batch["rays"],
+        init_boxes=None,
+        ext=None,
+        ts=None,
+        randomized=False,
+        background="gray",
+        alpha=4.0,
+    )
+    assert all("obj_centroid" not in level for level in out)
+
+
+def test_centering_grad_is_exact_restoring_force():
+    """d/dc of ||centroid||^2 == -2 R^T centroid, exactly.
+
+    Canonical coords are x_o = R (x_world - c) with stop-gradiented density
+    weights, stop-gradiented hit mask, and (stop_level_grad) pose-independent
+    t_vals — so the prior's pose gradient is the pure analytic re-centering
+    force, with NO path through the field. This pins both the sign (descent
+    moves the box center TOWARD the world-space density centroid) and the
+    absence of gradient leaks through sigma/hit/t_vals.
+    """
+    cfg = small_config()
+    batch = hitting_batch(rotvec=(0.1, -0.2, 0.3))
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+
+    def centering(params, level):
+        out = apply_model(model, {"params": params}, batch)
+        return (out[level]["obj_centroid"] ** 2).sum()
+
+    ts = int(batch["ts"])
+    rotmat = np.asarray(
+        ops.axis_angle_to_matrix(batch["init"][ts, :, 3:])
+    )  # [1, 3, 3] world->object
+    for level in range(cfg.num_levels):
+        grads = jax.grad(centering)(variables["params"], level)
+        got = np.asarray(grads["box_centers"])
+        cent = np.asarray(
+            apply_model(model, variables, batch)[level]["obj_centroid"]
+        )
+        expect = -2.0 * np.einsum("ocj,oc->oj", rotmat, cent)
+        np.testing.assert_allclose(got[ts, :, :3], expect, rtol=1e-4, atol=1e-6)
+        # Other timesteps' rows receive nothing.
+        other = np.delete(got[:, :, :3], ts, axis=0)
+        np.testing.assert_array_equal(other, 0.0)
+
+
+def test_centering_loss_wiring_and_parity_when_off():
+    cfg = small_config()
+    batch = hitting_batch()
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = apply_model(model, variables, batch)
+    n = len(np.asarray(batch["rays"].origins))
+    loss_batch = {
+        "rays": batch["rays"],
+        "pixels": jnp.zeros((n, 3)),
+        "depth": jnp.zeros((n, 1)),
+        "sky": jnp.zeros((n, 1)),
+        "target": jnp.zeros((1, 6)),
+    }
+    prev = jnp.zeros((1, 6))
+    base = Config(centering_loss_mult=0.0)
+    on = dataclasses.replace(base, centering_loss_mult=10.0)
+    total_off, aux_off = losses.compute_losses(base, out, loss_batch, prev, eps=1.0)
+    total_on, aux_on = losses.compute_losses(on, out, loss_batch, prev, eps=1.0)
+    cent = aux_on["centering"]
+    assert cent.shape == (cfg.num_levels,)
+    assert np.all(np.asarray(cent) >= 0)
+    expect_delta = 10.0 * cent[-1] + 1.0 * cent[:-1].sum()
+    np.testing.assert_allclose(
+        float(total_on - total_off), float(expect_delta), rtol=1e-5
+    )
+    # A levels list WITHOUT the key (static scene) still computes.
+    stripped = [{k: v for k, v in lv.items() if k != "obj_centroid"} for lv in out]
+    total_s, aux_s = losses.compute_losses(on, stripped, loss_batch, prev, eps=1.0)
+    np.testing.assert_array_equal(np.asarray(aux_s["centering"]), 0.0)
+    np.testing.assert_allclose(float(total_s), float(total_off), rtol=1e-6)
