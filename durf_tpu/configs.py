@@ -108,6 +108,22 @@ class ModelConfig:
     # ~17 ms of an 87 ms flagship step; docs/DESIGN.md round-2 profile).
     # Same values, dense tiles. False = row-major (always used for full cov).
     coord_major: bool = True
+    # Object-centering readout mode (see Config.centering_loss_mult):
+    #  'mean'     — density-weighted mean of in-slab canonical samples. For
+    #               OPAQUE objects the field's density is a shell on the
+    #               VISIBLE faces only, so the mass mean sits toward the
+    #               camera-facing face — centering on it parks the box
+    #               half-an-extent off (measured: the g1 recipe's z error
+    #               converges to ~0.6*ext_z, the front-face shell centroid).
+    #  'midrange' — (softmax_hi + softmin_lo)/2 of the OCCUPIED canonical
+    #               extent per axis: a tight-bounding-box fit. Visible side
+    #               faces span the full slab, so the occupancy extremes hit
+    #               +/-ext even when only some faces are observed, and the
+    #               midrange reads the true center where the mass mean is
+    #               shell-biased.
+    centering_mode: str = "midrange"
+    centering_beta: float = 16.0  # softmax sharpness, 1/meters (midrange)
+    centering_tau: float = 1.0  # occupancy saturation density (midrange)
     mlp: MLPConfig = field(default_factory=MLPConfig)
     box_mlp: MLPConfig = field(
         default_factory=lambda: MLPConfig(net_width=128)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
+from jax.scipy.special import logsumexp
 
 from durf_tpu import mathx, ops
 from durf_tpu.ops import grid as gridops
@@ -367,8 +368,7 @@ class MipNerf(nn.Module):
                     in_slab = jnp.all(
                         jnp.abs(x32)[None] <= ext[:, :, None, None], axis=1
                     ).astype(jnp.float32)  # [N_obj, B, S]
-                    w_obs = lax.stop_gradient(sigma_o)[None] * hit_ob * in_slab
-                    cent_num = jnp.einsum("obs,cbs->oc", w_obs, x32)
+                    x_cbs = x32  # [3, B, S]
                 else:
                     sigma_o = sigma_act(
                         obj_densities[..., 0].astype(jnp.float32) + cfg.density_bias
@@ -376,10 +376,50 @@ class MipNerf(nn.Module):
                     in_slab = jnp.all(
                         jnp.abs(x32)[None] <= ext[:, None, None, :], axis=-1
                     ).astype(jnp.float32)  # [N_obj, B, S]
-                    w_obs = lax.stop_gradient(sigma_o)[None] * hit_ob * in_slab
-                    cent_num = jnp.einsum("obs,bsc->oc", w_obs, x32)
-                cent_den = lax.stop_gradient(w_obs.sum(axis=(1, 2)))[:, None]
-                obj_centroid = cent_num / (cent_den + 1e-6)  # [N_obj, 3]
+                    x_cbs = jnp.moveaxis(x32, -1, 0)  # [3, B, S]
+                mask_obs = hit_ob * in_slab  # [N_obj, B, S]
+                if cfg.centering_mode == "mean":
+                    w_obs = lax.stop_gradient(sigma_o)[None] * mask_obs
+                    cent_num = jnp.einsum("obs,cbs->oc", w_obs, x_cbs)
+                    cent_den = lax.stop_gradient(w_obs.sum(axis=(1, 2)))[:, None]
+                    obj_centroid = cent_num / (cent_den + 1e-6)  # [N_obj, 3]
+                elif cfg.centering_mode == "midrange":
+                    # Tight-fit readout: smooth max/min of the OCCUPIED
+                    # canonical extent per axis; their midpoint is the box-
+                    # center error even when only some faces are visible
+                    # (the mass mean is shell-biased for opaque objects —
+                    # see configs.ModelConfig.centering_mode). Occupancy
+                    # saturates at tau so interior mass cannot out-vote the
+                    # extremes; the +/-logsumexp normalizations cancel in
+                    # the midpoint, so no denominator is needed.
+                    beta = cfg.centering_beta
+                    w_occ = (
+                        lax.stop_gradient(
+                            jnp.minimum(sigma_o, cfg.centering_tau)
+                            / cfg.centering_tau
+                        )[None]
+                        * mask_obs
+                    )  # [N_obj, B, S]
+                    logw = jnp.where(
+                        w_occ > 0.0, jnp.log(jnp.maximum(w_occ, 1e-30)), -1e9
+                    )[:, None]  # [N_obj, 1, B, S]
+                    xo = x_cbs[None]  # [1, 3, B, S]
+                    hi = logsumexp(beta * xo + logw, axis=(-2, -1))
+                    lo = logsumexp(-beta * xo + logw, axis=(-2, -1))
+                    mid = (hi - lo) / (2.0 * beta)  # [N_obj, 3]
+                    # Guard the all-empty batch: every logw is -1e9, the
+                    # constants cancel in hi - lo, and mid degenerates to the
+                    # midrange of the UNMASKED canonical sample extent —
+                    # hundreds of meters for distant rays (measured: loss
+                    # blew up 1.3 -> 4e4 in 30 steps on a 64-ray batch).
+                    occ_any = (
+                        lax.stop_gradient(w_occ.sum(axis=(1, 2))) > 0.0
+                    )  # [N_obj]
+                    obj_centroid = jnp.where(occ_any[:, None], mid, 0.0)
+                else:
+                    raise ValueError(
+                        f"unknown centering_mode {cfg.centering_mode!r}"
+                    )
 
                 # Background gets the complement mask, clamped at 0: the
                 # reference's unclamped 1 - Σhit goes to -1 when a ray hits

@@ -74,15 +74,29 @@ RECIPES[f7]='Config.max_steps=13000 Config.eps_max_steps=13000 Config.save_every
 # field freeze STILL drifts, because after warmup the field is consistent
 # with the wrong pose and the photometric landscape is flat along the ray).
 # g1: plain joint run + centering, yaw frozen.
-RECIPES[g1]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
+RECIPES[g1]='MipNerfModel.centering_mode="mean" Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
 # g2: g1 with yaw free.
-RECIPES[g2]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
+RECIPES[g2]='MipNerfModel.centering_mode="mean" Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
 # g3: g1 at centering 0.1 (sensitivity: does a weak prior still recover?).
-RECIPES[g3]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=0.1'
+RECIPES[g3]='MipNerfModel.centering_mode="mean" Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=0.1'
 # g4: entrenchment rescue — f1's late-window schedule + centering (the
 # centroid reads the pose error out of the already-fitted field, so the
 # prior should recover even after the warmup entrenches the wrong pose).
-RECIPES[g4]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.centering_loss_mult=1.'
+RECIPES[g4]='MipNerfModel.centering_mode="mean" Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.centering_loss_mult=1.'
+# Midrange family (g5-g8): the mean-mode rows converge to the VISIBLE-SHELL
+# mass centroid — for an opaque object that is ~0.6*ext off the true center
+# along the viewing axis (g1 measured exactly that). centering_mode=midrange
+# reads the (softmax_hi+softmin_lo)/2 of the occupied canonical extent
+# instead: a tight-bounding-box fit that hits the true center whenever the
+# visible faces span the slab, shell or not.
+# g5: plain joint + midrange centering, yaw frozen.
+RECIPES[g5]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
+# g6: entrenchment rescue (f1 late-window schedule) + midrange centering.
+RECIPES[g6]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.centering_loss_mult=1.'
+# g7: g5 with yaw free.
+RECIPES[g7]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
+# g8: g5 at centering 0.1 (weak-prior sensitivity).
+RECIPES[g8]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=0.1'
 
 for name in "$@"; do
   params=(${RECIPES[$name]:?unknown recipe $name})
