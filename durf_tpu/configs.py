@@ -208,6 +208,21 @@ class Config:
     # recovery (the round-3/4 ledger shows every schedule-only recipe
     # drifting in the flat along-ray direction). 0.0 = off (reference parity).
     centering_loss_mult: float = 0.0
+    # Box-surface depth prior (durf_tpu extension; no reference analogue):
+    # LIDAR depth points that land inside/near an object's box should lie ON
+    # the box surface (the dataset's box premise — boxes are fitted to the
+    # object, reference README.md:43-46). Penalizing the squared signed
+    # distance of each canonical-frame depth point to the box surface is a
+    # pose loss with NO path through the field: the field cannot absorb it,
+    # so it supplies a restoring force that survives warmup entrenchment
+    # (unlike photometric/centering, whose fixed points the field co-adapts
+    # to — round-4 f/g ledger). Points farther than box_surface_margin from
+    # the surface are trimmed (background/ground outliers). 0.0 = off.
+    box_surface_loss_mult: float = 0.0
+    # Trim radius in the model's internal units (the loader divides the
+    # world by WORLD_SCALE=5, scene.py:51, so 0.2 here ~= 1 m real on
+    # CARLA/Waymo-style scenes).
+    box_surface_margin: float = 0.2
     weight_decay_mult: float = 0.0
     white_bkgd: bool = False
     rand_bkgd: bool = True

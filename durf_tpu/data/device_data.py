@@ -55,7 +55,7 @@ def build_pools(dataset, mesh, factor: int | None = None) -> Dict[str, Any]:
 
     stacked = {
         key: np.stack([pad(p[key]) for p in pool.pools])
-        for key in ("pixels", "depth", "sky")
+        for key in pool.pools[0]  # pixels/depth/sky (+ inst when usable)
     }
     stacked["rays"] = jax.tree.map(
         lambda *xs: np.stack([pad(x) for x in xs]), *pool.ray_pools
@@ -68,6 +68,7 @@ def build_pools(dataset, mesh, factor: int | None = None) -> Dict[str, Any]:
             [scene.boxes_for("center", t + 1) for t in range(T)]
         )
         stacked["ext"] = np.stack([scene.boxes_for("ext", t + 1) for t in range(T)])
+        stacked["obj_ids"] = scene.obj_ids.astype(np.int32)
 
     rep = replicate(mesh)
     if jax.process_count() > 1:
@@ -87,8 +88,16 @@ def build_pools(dataset, mesh, factor: int | None = None) -> Dict[str, Any]:
 
 def build_pools_c2f(dataset, mesh) -> list:
     """One pool set per pyramid factor, coarse -> fine (dataset.factors
-    order), for the c2f schedule's lax.switch (see sample_batch_c2f)."""
-    return [build_pools(dataset, mesh, factor=f) for f in dataset.factors]
+    order), for the c2f schedule's lax.switch (see sample_batch_c2f).
+
+    The lax.switch needs identical pytrees per level, but 2D_boxes.npz is
+    written at the base factor only (scene.Scene.inst_usable) — so 'inst'
+    rides the pools only when EVERY pyramid level has usable masks."""
+    all_inst = all("inst" in dataset._pools[f].pools[0] for f in dataset.factors)
+    pools = [build_pools(dataset, mesh, factor=f) for f in dataset.factors]
+    if not all_inst:
+        pools = [{k: v for k, v in p.items() if k != "inst"} for p in pools]
+    return pools
 
 
 def pool_bytes(dataset) -> int:
@@ -131,10 +140,14 @@ def sample_batch(pools: Dict[str, Any], key: jax.Array, batch_size: int, batch_s
         "rays": jax.tree.map(gather, pools["rays"]),
         "ts": ts,
     }
+    if "inst" in pools:
+        batch["inst"] = gather(pools["inst"])
     if "init" in pools:
         batch["init"] = pools["init"]
         batch["target"] = pools["target"][ts]
         batch["ext"] = pools["ext"][ts]
+        if "obj_ids" in pools:
+            batch["obj_ids"] = pools["obj_ids"]
     return batch
 
 

@@ -51,6 +51,7 @@ class _TimestepPool:
     def __init__(self, scene: Scene):
         self.pools: List[Dict[str, np.ndarray]] = []
         self.ray_pools: List[Rays] = []
+        use_inst = scene.inst_usable()
         for t in range(1, scene.total_timesteps + 1):
             sel = [i for i in range(scene.n_examples) if scene.timesteps[i] == t]
             if not sel:
@@ -58,13 +59,16 @@ class _TimestepPool:
                     f"timestep {t} has no images in this split — a custom "
                     "test_indices selection removed an entire timestep"
                 )
-            self.pools.append(
-                {
-                    "pixels": np.concatenate([scene.images[i].reshape(-1, 3) for i in sel]),
-                    "depth": np.concatenate([scene.depth[i].reshape(-1, 1) for i in sel]),
-                    "sky": np.concatenate([scene.sky[i].reshape(-1, 1) for i in sel]),
-                }
-            )
+            pool = {
+                "pixels": np.concatenate([scene.images[i].reshape(-1, 3) for i in sel]),
+                "depth": np.concatenate([scene.depth[i].reshape(-1, 1) for i in sel]),
+                "sky": np.concatenate([scene.sky[i].reshape(-1, 1) for i in sel]),
+            }
+            if use_inst:
+                pool["inst"] = np.concatenate(
+                    [scene.masks2d[i].reshape(-1, 1).astype(np.int32) for i in sel]
+                )
+            self.pools.append(pool)
             self.ray_pools.append(_concat_rays([_flatten_rays(scene.rays[i]) for i in sel]))
 
 
@@ -190,6 +194,9 @@ class RayDataset:
             "box": scene.boxes_for("off", ts0 + 1),
             "can": scene.boxes_for("off", 1),
             "ext": scene.boxes_for("ext", ts0 + 1),
+            # Model-object-index -> instance-mask-id mapping, for batches
+            # that carry per-ray 'inst' ids (losses.box_surface_loss).
+            "obj_ids": scene.obj_ids.astype(np.int32),
         }
 
     def _next_train(self) -> dict:
@@ -211,18 +218,14 @@ class RayDataset:
         if self.batching == "all_images":
             total = sum(p["pixels"].shape[0] for p in pool.pools)
             idx = self._rng.integers(0, total, (self.batch_size,))
-            pixels = np.concatenate([p["pixels"] for p in pool.pools])
-            depth = np.concatenate([p["depth"] for p in pool.pools])
-            sky = np.concatenate([p["sky"] for p in pool.pools])
             rays = _concat_rays(pool.ray_pools)
             batch = {
-                "pixels": pixels[idx],
-                "depth": depth[idx],
-                "sky": sky[idx],
-                "rays": _index_rays(rays, idx),
-                "ts": np.int32(0),
-                "_factor": factor,
+                k: np.concatenate([p[k] for p in pool.pools])[idx]
+                for k in pool.pools[0]
             }
+            batch.update(
+                rays=_index_rays(rays, idx), ts=np.int32(0), _factor=factor
+            )
             batch.update(self._box_batch(scene, 0))
             return batch
 
@@ -251,6 +254,10 @@ class RayDataset:
                 "ts": np.int32(ts0),
                 "_factor": factor,
             }
+            if scene.inst_usable():
+                batch["inst"] = (
+                    scene.masks2d[i].reshape(-1, 1).astype(np.int32)[idx]
+                )
             batch.update(self._box_batch(scene, ts0))
             return batch
 

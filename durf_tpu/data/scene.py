@@ -91,6 +91,24 @@ class Scene:
         kind = "off" if use_off else "center"
         return np.stack([self.boxes_for(kind, t + 1) for t in range(self.total_timesteps)])
 
+    def inst_usable(self) -> bool:
+        """True when per-ray instance ids can be batched alongside pixels.
+
+        The unsuffixed 2D_boxes.npz is written at the training factor
+        (reference obbpose_dataset.py:524 loads the same single file), so
+        pyramid levels loaded at other factors see a shape mismatch — those
+        scenes batch without 'inst' and the box-surface prior falls back to
+        its margin-only trim (losses.box_surface_loss)."""
+        return (
+            len(self.obj_ids) > 0
+            and len(self.masks2d) == len(self.images)
+            and all(
+                m.shape == img.shape[:2]
+                for m, img in zip(self.masks2d, self.images)
+            )
+            and any(m.any() for m in self.masks2d)
+        )
+
 
 def _average_pose(poses: np.ndarray) -> np.ndarray:
     """Average camera pose (reference obbpose_dataset.py:722-742)."""

@@ -18,6 +18,9 @@ from typing import Any, Dict, List
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+from durf_tpu import ops
 
 
 def weight_l2(variables) -> jax.Array:
@@ -107,6 +110,70 @@ def sky_loss(depth: jax.Array, sky_mask: jax.Array, gt_sky: jax.Array):
     denom = jnp.maximum(sky_mask.sum(), 1.0)
     sky_depth = sky_mask * (1.0 - (1.0 / jnp.maximum(sky_mask * depth, 1.0)))
     return ((sky_mask * (sky_depth - gt_sky)) ** 2).sum() / denom
+
+
+def box_surface_loss(
+    rays,
+    gt_depth: jax.Array,
+    pose: jax.Array,
+    rot: jax.Array,
+    ext: jax.Array,
+    margin: float,
+    inst: jax.Array | None = None,
+    obj_ids: jax.Array | None = None,
+) -> jax.Array:
+    """Depth-point-to-box-surface pose prior (Config.box_surface_loss_mult).
+
+    World LIDAR points p = o + d * t_gt (metric depth in the unnormalized-ray
+    parameterization, data/synthetic.py:67 — the same convention the URF
+    losses consume) are mapped into each object's canonical frame at the
+    batch timestep's OPTIMIZED pose; points within `margin` of the box
+    surface are regressed onto it via the squared box-SDF. This is a pure
+    function of the pose (and data): unlike the photometric and centering
+    losses the field cannot co-adapt to absorb it, so its basin is anchored
+    at the true box fit. No reference analogue; it uses the same LIDAR
+    channel as the reference's URF losses (train_boxpose.py:155-175) and the
+    dataset premise that boxes fit their objects (README.md:43-46).
+
+    Args:
+      rays: the batch Rays.
+      gt_depth: [B] metric GT depth (0 = no LIDAR return).
+      pose: [N_obj, 3] optimized box centers for the batch timestep.
+      rot: [N_obj, 3] optimized axis-angle (world->object convention).
+      ext: [N_obj, 3] box half-extents.
+      margin: trim radius in meters — |sdf| >= margin points are outliers
+        (background seen past a miss, ground adjacent to the footprint).
+      inst: optional [B, 1] per-ray instance ids from the dataset's 2D
+        instance masks (2D_boxes.npz — the channel the reference loads but
+        never batches, obbpose_dataset.py:524-595). When given with
+        obj_ids, only rays whose mask id matches the object are kept: exact
+        outlier rejection (a ground point adjacent to the footprint passes
+        the margin trim but not the mask).
+      obj_ids: optional [N_obj] instance id per model object index.
+
+    Returns:
+      Scalar: mean squared SDF over kept points, summed over objects.
+    """
+    p = rays.origins + rays.directions * gt_depth[:, None]  # [B, 3]
+    rmat = ops.axis_angle_to_matrix(rot)  # [N_obj, 3, 3] world->object
+    x = jnp.einsum(
+        "oij,boj->boi", rmat, p[:, None, :] - pose[None, :, :]
+    )  # [B, N_obj, 3] canonical depth points
+    q = jnp.abs(x) - ext[None]
+    # Safe norm: for interior points max(q, 0) is the zero vector and the
+    # exact norm has a 0/0 gradient (NaN); the 1e-12 floor keeps the
+    # gradient 0 there at a value bias of 1e-6 m.
+    out_dist = jnp.sqrt((jnp.maximum(q, 0.0) ** 2).sum(axis=-1) + 1e-12)
+    sdf = out_dist + jnp.minimum(q.max(axis=-1), 0.0)
+    # [B, N_obj] box SDF (negative inside)
+    keep = (gt_depth > 0.0)[:, None] & (
+        jnp.abs(lax.stop_gradient(sdf)) < margin
+    )
+    if inst is not None and obj_ids is not None:
+        keep = keep & (inst.reshape(-1, 1) == obj_ids[None, :])
+    keep = keep.astype(jnp.float32)
+    per_obj = (keep * sdf**2).sum(axis=0) / jnp.maximum(keep.sum(axis=0), 1.0)
+    return per_obj.sum()
 
 
 def compute_losses(
@@ -214,7 +281,26 @@ def compute_losses(
             (dyn_mask * (rgb - pixels) ** 2).sum() / jnp.maximum(dyn_mask.sum(), 1e-8)
         )
 
+    # Box-surface depth prior: pose-only (level-independent), computed once
+    # from the final level's live pose tensors. Gated on dynamics (ext
+    # present) and the config mult, so parity configs trace nothing extra.
+    ext = batch.get("ext")
+    if config.box_surface_loss_mult > 0.0 and ext is not None:
+        surface = box_surface_loss(
+            rays,
+            gt_depth,
+            levels[-1]["pose"],
+            levels[-1]["rot"],
+            ext,
+            config.box_surface_margin,
+            inst=batch.get("inst"),
+            obj_ids=batch.get("obj_ids"),
+        )
+    else:
+        surface = jnp.zeros(())
+
     aux = {k: jnp.asarray(v) for k, v in per_level.items()}
+    aux["box_surface"] = surface
     # First ray's sampling state, for the weights-histogram visualization.
     aux["viz_t_vals"] = jnp.stack([lv["t_vals"][0] for lv in levels])
     aux["viz_weights"] = jnp.stack([lv["weights"][0] for lv in levels])
@@ -233,4 +319,5 @@ def compute_losses(
         aux["centering"], config.centering_loss_mult, 0.1 * config.centering_loss_mult
     )
     total += agg(aux["distortion"], config.distortion_loss_mult, config.distortion_loss_mult)
+    total += config.box_surface_loss_mult * aux["box_surface"]
     return total, aux

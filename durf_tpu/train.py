@@ -306,6 +306,7 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
             # are popped by the train loop before scalar logging.
             stats[f"viz/t_vals_{i}"] = aux["viz_t_vals"][i]
             stats[f"viz/weights_{i}"] = aux["viz_weights"][i]
+        stats["loss/box_surface"] = aux["box_surface"]
         return new_state, stats
 
     return train_step

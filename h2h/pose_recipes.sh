@@ -97,6 +97,22 @@ RECIPES[g6]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every
 RECIPES[g7]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=1.'
 # g8: g5 at centering 0.1 (weak-prior sensitivity).
 RECIPES[g8]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.centering_loss_mult=0.1'
+# Box-surface family (h1-h4): the field-INDEPENDENT restoring force. Every
+# field-readout prior (g-family: mean AND midrange centering) drifted,
+# because the field co-adapts to whatever pose the readout prefers. The
+# box-surface prior (Config.box_surface_loss_mult) regresses instance-masked
+# LIDAR points onto the box surface — a pure function of the pose, anchored
+# at the true box fit; tests/test_box_surface.py shows Adam on it ALONE
+# recovers 0.5 m noise to < 3 cm.
+# h1: plain joint + surface prior 1.0, yaw frozen.
+RECIPES[h1]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.box_surface_loss_mult=1.'
+# h2: h1 with yaw free.
+RECIPES[h2]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.box_surface_loss_mult=1.'
+# h3: entrenchment rescue — f1's late-window schedule + surface prior (does
+# the anchored basin recover a pose the warmup already entrenched?).
+RECIPES[h3]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.box_surface_loss_mult=1.'
+# h4: h1 at mult 10 (does a stronger anchor overpower photometric drift?).
+RECIPES[h4]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.box_surface_loss_mult=10.'
 
 for name in "$@"; do
   params=(${RECIPES[$name]:?unknown recipe $name})

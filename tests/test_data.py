@@ -137,6 +137,41 @@ class TestRayDataset:
             b2["ts"]
         )
 
+    def test_batches_carry_instance_ids(self, scene_dir):
+        """Per-ray 'inst' ids + the obj_ids mapping ride every train batch
+        when 2D_boxes.npz matches the image resolution (the channel feeding
+        losses.box_surface_loss; the reference loads the same file but never
+        batches it, obbpose_dataset.py:524-595)."""
+        for batching in ("timestep", "all_images", "single_image"):
+            ds = RayDataset("train", scene_dir, carla_config(batching=batching))
+            batch = next(ds)
+            assert batch["inst"].shape == (32, 1), batching
+            assert batch["inst"].dtype == np.int32
+            assert batch["obj_ids"].shape == (2,)
+            assert set(np.unique(batch["inst"])) <= {0, 1, 2}
+
+    def test_inst_consistent_with_depth(self, scene_dir):
+        """Rays labeled with an object id have a finite LIDAR return on the
+        object (the synthetic renderer writes both from the same ray cast)."""
+        ds = RayDataset("train", scene_dir, carla_config())
+        batch = next(ds)
+        on_obj = batch["inst"][:, 0] > 0
+        if on_obj.any():
+            assert np.all(batch["depth"][on_obj, 0] > 0.0)
+
+    def test_c2f_levels_without_masks_batch_without_inst(self, c2f_scene_dir):
+        """2D_boxes.npz is written at the base factor only; coarser pyramid
+        levels must drop 'inst' rather than batch mismatched shapes."""
+        cfg = carla_config(use_c2f=True, c2f_steps=(10, 20, 30), batch_size=8)
+        ds = RayDataset("train", c2f_scene_dir, cfg)
+        assert ds._current_factor() == 16
+        batch = next(ds)
+        assert "inst" not in batch
+        ds.set_step(31)  # finest level: masks match again
+        assert ds._current_factor() == 4
+        batch = next(ds)
+        assert batch["inst"].shape == (8, 1)
+
     def test_peek_does_not_consume(self, scene_dir):
         ds = RayDataset("train", scene_dir, carla_config())
         p = ds.peek()
