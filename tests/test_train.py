@@ -144,6 +144,74 @@ def test_metrics_jsonl_written(scene_dir, tmp_path):
         assert key in row
 
 
+def test_box_surface_prior_restores_through_real_pipeline(scene_dir):
+    """Round-4 pose-recovery mechanism through the REAL data pipeline:
+    over pooled training batches (with their 'inst' ids), the box-surface
+    loss is (a) ~zero at the GT pose — the synthetic LIDAR points lie on
+    the box surface — and (b) positive at the noised init with a gradient
+    whose descent direction reduces the pose error in aggregate. The full
+    recovery runs are the h-family ledger (docs/STATUS.md); this pins the
+    wiring and the sign deterministically."""
+    import jax.numpy as jnp
+
+    from durf_tpu import losses
+    from durf_tpu.data import RayDataset
+
+    cfg = tiny_train_config(
+        batch_size=128, random_box=True, box_noise=0.3
+    )
+    ds = RayDataset("train", scene_dir, cfg)
+    dot_sum = noised_sum = gt_sum = 0.0
+    for _ in range(8):
+        b = next(ds)
+        ts = int(b["ts"])
+        pose = jnp.asarray(b["init"][ts][:, :3])
+        rot = jnp.asarray(b["init"][ts][:, 3:])
+        target = jnp.asarray(b["target"][:, :3])
+        gt_rot = jnp.asarray(b["target"][:, 3:])
+
+        def f(p, r):
+            return losses.box_surface_loss(
+                b["rays"],
+                jnp.asarray(b["depth"][:, 0]),
+                p,
+                r,
+                jnp.asarray(b["ext"]),
+                cfg.box_surface_margin,
+                inst=jnp.asarray(b["inst"]),
+                obj_ids=jnp.asarray(b["obj_ids"]),
+            )
+
+        val, g = jax.value_and_grad(f)(pose, rot)
+        noised_sum += float(val)
+        gt_sum += float(f(target, gt_rot))
+        dot_sum += float((g * (pose - target)).sum())
+    assert gt_sum < 1e-6, gt_sum  # GT pose: points on the surface
+    assert noised_sum > 1e-3, noised_sum
+    assert dot_sum > 0.0, dot_sum  # descent moves the pose toward GT
+
+
+def test_box_surface_prior_e2e_smoke(scene_dir, tmp_path):
+    """The prior runs through the jitted train step (device pools carrying
+    'inst'/'obj_ids', sharded batches) and its scalar is logged finite."""
+    import json
+
+    cfg = tiny_train_config(
+        max_steps=16,
+        print_every=8,
+        save_every=100,
+        random_box=True,
+        box_noise=0.3,
+        box_surface_loss_mult=10.0,
+    )
+    cfg.model.no_pose_opt = False
+    d = str(tmp_path / "surf")
+    run_training(cfg, scene_dir, d)
+    rows = [json.loads(l) for l in open(os.path.join(d, "metrics.jsonl"))]
+    surf = [r["loss/box_surface"] for r in rows if "loss/box_surface" in r]
+    assert len(surf) >= 2 and all(np.isfinite(surf))
+
+
 @pytest.fixture(scope="module")
 def c2f_train_scene(tmp_path_factory):
     d = tmp_path_factory.mktemp("c2f_train_scene")
