@@ -407,3 +407,14 @@ def test_converted_scene_trains_and_evals(tmp_path):
     import os
 
     assert os.path.exists(str(tmp_path / "eval" / "metrics.json"))
+
+    # The converted scene's rasterized masks feed the per-ray 'inst'
+    # channel (losses.box_surface_loss input) — rasterized at the training
+    # factor, ids consistent with the box-key object indices.
+    from durf_tpu.data import RayDataset
+
+    ds = RayDataset("train", scene, config)
+    batch = next(ds)
+    assert batch["inst"].shape == (16, 1)
+    assert set(np.unique(batch["inst"])) <= {0, 1, 2}
+    np.testing.assert_array_equal(np.sort(batch["obj_ids"]), [1, 2])
