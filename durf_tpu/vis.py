@@ -60,7 +60,11 @@ def visualize_depth(
     near = near or (keep[0] - eps if keep.size else eps)
     far = far or (keep[-1] + eps if keep.size else 1.0)
 
-    depth, near, far = [curve_fn(x) for x in (depth, near, far)]
+    # Sky rays carry depth 0 (LIDAR no-return), so the -log curve hits
+    # log(0) = -inf for them; the nan_to_num below maps those pixels to the
+    # clip edge — silence the (expected) warning.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        depth, near, far = [curve_fn(x) for x in (depth, near, far)]
     if modulus > 0:
         value = np.mod(depth, modulus) / modulus
         vis = sinebow(value)
