@@ -113,6 +113,10 @@ RECIPES[h2]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every
 RECIPES[h3]='Config.max_steps=11000 Config.eps_max_steps=11000 Config.save_every=11000 Config.alpha_init=6. Config.alpha_final=6. Config.alpha_max_steps=1 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=100. Config.pose_lr_delay_steps=8500 Config.pose_lr_ramp_steps=500 Config.pose_lr_decay_steps=1500 Config.box_surface_loss_mult=1.'
 # h4: h1 at mult 10 (does a stronger anchor overpower photometric drift?).
 RECIPES[h4]='Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=True Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.box_surface_loss_mult=10.'
+# h6: DOUBLE the reference's claimed max error — 1.0 m box noise (README.md
+# :43-46 claims "up to 0.5 m"), yaw free, margin widened to 0.4 (the trim
+# radius must cover the worst-case init SDF, ~noise*sqrt(3)/WORLD_SCALE).
+RECIPES[h6]='Config.box_noise=1.0 Config.box_surface_margin=0.4 Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.box_surface_loss_mult=10.'
 # h5: full 4-DoF noise — centers 0.5 m AND yaw 5 deg (random_yaw), both
 # optimized, surface prior 10 (the waymo_poseopt.gin protocol end-to-end).
 RECIPES[h5]='Config.random_yaw=True Config.yaw_noise=5. Config.max_steps=10000 Config.eps_max_steps=10000 Config.save_every=10000 Config.alpha_init=6. Config.alpha_final=10. Config.alpha_delay_steps=0 Config.alpha_max_steps=8000 MipNerfModel.no_yaw_opt=False Config.pose_lr_mult=1. Config.pose_lr_delay_steps=0 Config.pose_lr_ramp_steps=0 Config.pose_lr_decay_steps=0 Config.box_surface_loss_mult=10.'
