@@ -57,6 +57,15 @@ def main():
         "(the reference computes and discards these bounds — DEFECTS.md #3)",
     )
     p.add_argument(
+        "--obj_capacity",
+        type=float,
+        default=0.0,
+        help="object-ray compaction fraction (ModelConfig.obj_ray_capacity): "
+        "run the object encode+MLPs on only the top-k hit rays and scatter "
+        "back — exact when the batch's hit count fits the capacity "
+        "(the bench batch hits ~2.9%% of rays)",
+    )
+    p.add_argument(
         "--remat",
         action="store_true",
         help="remat the XLA-path MLP forward (jax.checkpoint) — lets "
@@ -123,6 +132,7 @@ def _run(args):
     config.model.remat_mlp = args.remat
     config.model.grid_sampling = args.grid_sampling
     config.model.use_box_nearfar = args.use_box_nearfar
+    config.model.obj_ray_capacity = args.obj_capacity
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

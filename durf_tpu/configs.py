@@ -121,6 +121,14 @@ class ModelConfig:
     #               +/-ext even when only some faces are observed, and the
     #               midrange reads the true center where the mass mean is
     #               shell-biased.
+    # Object-ray compaction: run the object encode + MLPs on only the top
+    # ceil(obj_ray_capacity * batch) rays (hit rays first, k rounded up to a
+    # kernel-legal multiple of 128) and scatter the outputs back. Objects
+    # cover 2-10% of rays at the flagship operating points while the object
+    # pipeline costs ~40% of the step — numerically EXACT whenever the
+    # batch's hit count stays under the capacity (gather/scatter is a
+    # permutation; the rest have hit == 0). 0.0 = off (reference parity).
+    obj_ray_capacity: float = 0.0
     centering_mode: str = "midrange"
     centering_beta: float = 16.0  # softmax sharpness, 1/meters (midrange)
     centering_tau: float = 1.0  # occupancy saturation density (midrange)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -261,7 +262,6 @@ class MipNerf(nn.Module):
 
             if dynamics:
                 mean, cov = samples  # [B,S,3], cov [B,S,3] diag or [B,S,3,3]
-                hit_s = hit.T[..., None, None]  # [N_obj, B, 1, 1]
                 # Per-object masked encode WITHOUT the per-object encode: the
                 # hit mask is exactly 0/1, so
                 #   windowed_ipe(hit*m, hit*cov) == hit*windowed_ipe(m, cov)
@@ -297,51 +297,124 @@ class MipNerf(nn.Module):
                         self.scope.get_variable("params", "object_mlps"),
                         cfg.box_mlp,
                     )
-                if use_fused_obj:
-                    # Objects-in-grid kernel: ONE pallas_call over
-                    # (tiles, objects), hit-masked outputs accumulated
-                    # in-kernel, per-ray condition hoisted — the params are
-                    # the vmapped module's own tree pulled from this scope,
-                    # so checkpoints and the XLA path are untouched
-                    # (ops/pallas/obj_mlp.py; for a 0/1 hit mask
-                    # hit*MLP(blend(enc)) == hit*MLP(enc) in value and grad,
-                    # so the constant-fill blend disappears entirely).
-                    from durf_tpu.ops.pallas import obj_mlp as objk
+                def obj_outputs(mean_i, cov_i, vdirs_i, hit_i):
+                    """Encode + object MLPs for a (possibly compacted) ray
+                    set; returns the hit-masked over-objects sums."""
+                    if use_fused_obj:
+                        # Objects-in-grid kernel: ONE pallas_call over
+                        # (tiles, objects), hit-masked outputs accumulated
+                        # in-kernel, per-ray condition hoisted — the params
+                        # are the vmapped module's own tree pulled from this
+                        # scope, so checkpoints and the XLA path are
+                        # untouched (ops/pallas/obj_mlp.py; for a 0/1 hit
+                        # mask hit*MLP(blend(enc)) == hit*MLP(enc) in value
+                        # and grad, so the constant-fill blend disappears).
+                        from durf_tpu.ops.pallas import obj_mlp as objk
 
-                    enc = ops.windowed_ipe_cm(mean, cov, **obj_kwargs)
-                    obj_params = self.scope.get_variable("params", "object_mlps")
-                    obj_rgbs, obj_densities = objk.obj_mlps_apply(
-                        obj_params,
-                        cfg.box_mlp,
-                        enc,
-                        viewdirs_enc,
-                        hit,
-                        dtype,
-                        interpret=jax.default_backend() == "cpu",
+                        enc = ops.windowed_ipe_cm(mean_i, cov_i, **obj_kwargs)
+                        obj_params = self.scope.get_variable(
+                            "params", "object_mlps"
+                        )
+                        return objk.obj_mlps_apply(
+                            obj_params,
+                            cfg.box_mlp,
+                            enc,
+                            vdirs_i,
+                            hit_i,
+                            dtype,
+                            interpret=jax.default_backend() == "cpu",
+                        )
+                    if cm:
+                        enc = ops.windowed_ipe_cm(mean_i, cov_i, **obj_kwargs)
+                        c0 = ops.windowed_ipe_cm(
+                            jnp.zeros((3, 1, 1), mean_i.dtype),
+                            jnp.zeros((3, 1, 1), mean_i.dtype),
+                            **obj_kwargs,
+                        )
+                        gate = hit_i.T[..., None]  # [N_obj, B', 1]
+                        obj_rgb, obj_density = box_mlps(
+                            enc, vdirs_i, gate, c0, cm, cm
+                        )
+                        # Feature-major outputs [N_obj, C, B', S]: the masked
+                        # object sums run on dense channel planes.
+                        hit_fm = hit_i.T[:, None, :, None]
+                        return (
+                            (hit_fm * obj_rgb).sum(axis=0),  # [3, B', S]
+                            (hit_fm * obj_density).sum(axis=0),  # [1, B', S]
+                        )
+                    zeros3 = jnp.zeros((1, 1, 3), mean_i.dtype)
+                    zcov = (
+                        zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean_i.dtype)
                     )
-                elif cm:
-                    enc = ops.windowed_ipe_cm(mean, cov, **obj_kwargs)
-                    c0 = ops.windowed_ipe_cm(
-                        jnp.zeros((3, 1, 1), mean.dtype),
-                        jnp.zeros((3, 1, 1), mean.dtype),
-                        **obj_kwargs,
+                    enc = ops.windowed_ipe(
+                        (mean_i, cov_i), diag=diag, **obj_kwargs
                     )
-                    gate = hit.T[..., None]  # [N_obj, B, 1]
-                    obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm, cm)
-                    # Feature-major outputs [N_obj, C, B, S]: the masked
-                    # object sums run on dense channel planes.
-                    hit_fm = hit.T[:, None, :, None]  # [N_obj, 1, B, 1]
-                    obj_rgbs = (hit_fm * obj_rgb).sum(axis=0)  # [3, B, S]
-                    obj_densities = (hit_fm * obj_density).sum(axis=0)  # [1, B, S]
-                else:
-                    zeros3 = jnp.zeros((1, 1, 3), mean.dtype)
-                    zcov = zeros3 if diag else jnp.zeros((1, 1, 3, 3), mean.dtype)
-                    enc = ops.windowed_ipe((mean, cov), diag=diag, **obj_kwargs)
                     c0 = ops.windowed_ipe((zeros3, zcov), diag=diag, **obj_kwargs)
-                    gate = hit.T[..., None]  # [N_obj, B, 1]
-                    obj_rgb, obj_density = box_mlps(enc, viewdirs_enc, gate, c0, cm, cm)
-                    obj_rgbs = (hit_s * obj_rgb).sum(axis=0)  # [B, S, 3]
-                    obj_densities = (hit_s * obj_density).sum(axis=0)  # [B, S, 1]
+                    gate = hit_i.T[..., None]  # [N_obj, B', 1]
+                    obj_rgb, obj_density = box_mlps(enc, vdirs_i, gate, c0, cm, cm)
+                    hs = hit_i.T[..., None, None]  # [N_obj, B', 1, 1]
+                    return (
+                        (hs * obj_rgb).sum(axis=0),  # [B', S, 3]
+                        (hs * obj_density).sum(axis=0),  # [B', S, 1]
+                    )
+
+                # Object-ray compaction (ModelConfig.obj_ray_capacity):
+                # objects cover a small fraction of rays (2-10% at the
+                # flagship operating points), yet the object encode + MLPs
+                # above run on EVERY ray with hit-masked outputs. With a
+                # capacity fraction c, the top-k (k = c*B, hit rays first)
+                # are gathered, the object pipeline runs on the compacted
+                # set, and the outputs scatter back — numerically EXACT
+                # (gather/scatter is a permutation; non-gathered rays have
+                # hit == 0 everywhere) as long as the batch's hit count
+                # stays under k. Overflowing rays (hit count > k) lose
+                # their object contribution — pick the capacity with
+                # headroom over the scene's hit fraction. 0.0 = off.
+                n_samp = mean.shape[-1] if cm else mean.shape[-2]
+                cap = cfg.obj_ray_capacity
+                k = (
+                    min(batch, max(128, int(math.ceil(batch * cap / 128)) * 128))
+                    if cap > 0.0
+                    else batch
+                )
+                if cap > 0.0 and k < batch and not self.is_initializing():
+                    anyhit = (hit.sum(axis=-1) > 0).astype(jnp.int32)
+                    _, c_idx = lax.top_k(anyhit, k)
+                    ray_ax = 1 if cm else 0
+                    rgb_c, den_c = obj_outputs(
+                        jnp.take(mean, c_idx, axis=ray_ax),
+                        jnp.take(cov, c_idx, axis=ray_ax),
+                        None
+                        if viewdirs_enc is None
+                        else jnp.take(viewdirs_enc, c_idx, axis=0),
+                        jnp.take(hit, c_idx, axis=0),
+                    )
+                    if cm:
+                        obj_rgbs = (
+                            jnp.zeros((3, batch, n_samp), rgb_c.dtype)
+                            .at[:, c_idx]
+                            .set(rgb_c)
+                        )
+                        obj_densities = (
+                            jnp.zeros((1, batch, n_samp), den_c.dtype)
+                            .at[:, c_idx]
+                            .set(den_c)
+                        )
+                    else:
+                        obj_rgbs = (
+                            jnp.zeros((batch, n_samp, 3), rgb_c.dtype)
+                            .at[c_idx]
+                            .set(rgb_c)
+                        )
+                        obj_densities = (
+                            jnp.zeros((batch, n_samp, 1), den_c.dtype)
+                            .at[c_idx]
+                            .set(den_c)
+                        )
+                else:
+                    obj_rgbs, obj_densities = obj_outputs(
+                        mean, cov, viewdirs_enc, hit
+                    )
 
                 # Object-centering prior (durf_tpu extension; no reference
                 # analogue): density-weighted centroid of each object's

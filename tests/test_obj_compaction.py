@@ -1,0 +1,169 @@
+"""Object-ray compaction (ModelConfig.obj_ray_capacity): exactness.
+
+Objects cover a small fraction of rays while the object encode + MLPs run on
+every ray with hit-masked outputs; compaction gathers the top-k rays (hit
+rays first), runs the object pipeline on the compacted set, and scatters the
+outputs back. This must be bit-for-bit a permutation: identical model
+outputs AND gradients whenever the batch's hit count <= capacity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from durf_tpu.configs import MLPConfig, ModelConfig
+from durf_tpu.models import construct_model
+from durf_tpu.rays import Rays
+
+
+def small_config(**kw) -> ModelConfig:
+    base = dict(
+        num_samples=8,
+        num_levels=2,
+        max_deg_point=3,
+        deg_view=2,
+        num_objects=2,
+        timesteps=3,
+        density_noise=0.0,
+        contraction=False,
+        mlp=MLPConfig(net_depth=2, net_width=16, net_width_condition=8),
+        box_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def mixed_batch(n_rays=160, n_hit=8):
+    """Rays where only the first `n_hit` point at the boxes (z = -5)."""
+    rng = np.random.default_rng(11)
+    dirs = rng.normal(size=(n_rays, 3)).astype(np.float32) * 0.05
+    dirs[:, 2] = 1.0  # miss: away from the boxes
+    dirs[:n_hit, 2] = -1.0  # hit rays
+    ones = np.ones((n_rays, 1), np.float32)
+    rays = Rays(
+        origins=jnp.zeros((n_rays, 3), jnp.float32),
+        directions=jnp.asarray(dirs),
+        viewdirs=jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)),
+        radii=jnp.asarray(ones * 0.01),
+        lossmult=jnp.asarray(ones),
+        near=ones * 0.1,
+        far=ones * 10.0,
+    )
+    init = np.zeros((3, 2, 6), np.float32)
+    init[:, 0, :3] = [0.3, -0.2, -5.0]
+    init[:, 1, :3] = [-0.4, 0.1, -5.5]
+    return {
+        "rays": rays,
+        "init": jnp.asarray(init),
+        "ext": jnp.full((2, 3), 1.5),
+        "ts": jnp.asarray(1),
+    }
+
+
+def apply_model(model, variables, batch):
+    return model.apply(
+        variables,
+        rng=None,
+        rays=batch["rays"],
+        init_boxes=batch["init"],
+        ext=batch["ext"],
+        ts=batch["ts"],
+        randomized=False,
+        background="gray",
+        alpha=3.0,
+    )
+
+
+@pytest.mark.parametrize("cm", [False, True])
+def test_compaction_matches_uncompacted_outputs(cm):
+    batch = mixed_batch()
+    outs = {}
+    for cap in (0.0, 0.8):  # k = max(128, ...) = 128 < 160 rays
+        cfg = small_config(coord_major=cm, obj_ray_capacity=cap)
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+        outs[cap] = apply_model(model, variables, batch)
+    for lv0, lv1 in zip(outs[0.0], outs[0.8]):
+        for key in ("rgb", "depth", "acc", "weights", "obj_centroid"):
+            np.testing.assert_allclose(
+                np.asarray(lv0[key]),
+                np.asarray(lv1[key]),
+                rtol=1e-5,
+                atol=1e-6,
+                err_msg=key,
+            )
+
+
+def test_compaction_matches_uncompacted_gradients():
+    batch = mixed_batch()
+    grads = {}
+    for cap in (0.0, 0.8):
+        cfg = small_config(obj_ray_capacity=cap)
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+
+        def loss(params):
+            out = apply_model(model, {"params": params}, batch)
+            return sum((lv["rgb"] ** 2).sum() for lv in out)
+
+        grads[cap] = jax.grad(loss)(variables["params"])
+    flat0 = jax.tree_util.tree_leaves_with_path(grads[0.0])
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(grads[0.8]))
+    # tree_leaves_with_path returns (path, leaf) tuples; compare by path.
+    flat1 = {jax.tree_util.keystr(p): g for p, g in jax.tree_util.tree_leaves_with_path(grads[0.8])}
+    for p, g0 in flat0:
+        key = jax.tree_util.keystr(p)
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(flat1[key]), rtol=1e-4, atol=1e-6,
+            err_msg=key,
+        )
+
+
+def test_overflow_drops_excess_hit_rays_gracefully():
+    """More hit rays than capacity: outputs stay finite and the kept rays
+    still carry object contributions (the documented approximation)."""
+    batch = mixed_batch(n_rays=160, n_hit=150)  # capacity k = 128 < 150 hits
+    cfg = small_config(obj_ray_capacity=0.8)
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = apply_model(model, variables, batch)
+    for lv in out:
+        assert np.all(np.isfinite(np.asarray(lv["rgb"])))
+        assert np.all(np.isfinite(np.asarray(lv["weights"])))
+
+
+def test_compaction_matches_on_fused_kernel_path():
+    """The objects-in-grid Pallas path (interpret mode on CPU) under
+    compaction: the kernel pads its ray axis, so a compacted k simply
+    yields fewer tiles — outputs must match the uncompacted kernel."""
+    batch = mixed_batch()
+    outs = {}
+    for cap in (0.0, 0.8):
+        cfg = small_config(
+            coord_major=True,
+            use_pallas_mlp=True,
+            fused_objects=True,
+            obj_ray_capacity=cap,
+        )
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+        outs[cap] = apply_model(model, variables, batch)
+    for lv0, lv1 in zip(outs[0.0], outs[0.8]):
+        for key in ("rgb", "depth", "weights"):
+            np.testing.assert_allclose(
+                np.asarray(lv0[key]),
+                np.asarray(lv1[key]),
+                rtol=1e-5,
+                atol=1e-6,
+                err_msg=key,
+            )
+
+
+def test_capacity_one_disables_compaction_path():
+    """cap high enough that k == batch: must take the uncompacted branch
+    (python-level) and equal cap=0 exactly."""
+    batch = mixed_batch(n_rays=128)
+    outs = []
+    for cap in (0.0, 1.0):
+        cfg = small_config(obj_ray_capacity=cap)
+        model, variables = construct_model(jax.random.key(0), batch, cfg)
+        outs.append(apply_model(model, variables, batch))
+    for lv0, lv1 in zip(*outs):
+        np.testing.assert_array_equal(np.asarray(lv0["rgb"]), np.asarray(lv1["rgb"]))
