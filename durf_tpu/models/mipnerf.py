@@ -35,6 +35,18 @@ from durf_tpu.models.mlp import NerfMLP, get_activation
 from durf_tpu.rays import Rays
 
 
+def obj_capacity_k(batch: int, capacity: float) -> int:
+    """Compacted ray count for ModelConfig.obj_ray_capacity.
+
+    k = ceil(capacity * batch) rounded up to a multiple of 128 (the kernel
+    lane width / minimal tile unit), floored at 128, capped at the batch.
+    capacity <= 0 disables compaction (k == batch).
+    """
+    if capacity <= 0.0:
+        return batch
+    return min(batch, max(128, int(math.ceil(batch * capacity / 128)) * 128))
+
+
 class MipNerf(nn.Module):
     """Mip-NeRF with optional NSG-style dynamic scene graph.
 
@@ -372,13 +384,9 @@ class MipNerf(nn.Module):
                 # headroom over the scene's hit fraction. 0.0 = off.
                 n_samp = mean.shape[-1] if cm else mean.shape[-2]
                 cap = cfg.obj_ray_capacity
-                k = (
-                    min(batch, max(128, int(math.ceil(batch * cap / 128)) * 128))
-                    if cap > 0.0
-                    else batch
-                )
+                k = obj_capacity_k(batch, cap)
+                anyhit = (hit.sum(axis=-1) > 0).astype(jnp.int32)  # [B]
                 if cap > 0.0 and k < batch and not self.is_initializing():
-                    anyhit = (hit.sum(axis=-1) > 0).astype(jnp.int32)
                     _, c_idx = lax.top_k(anyhit, k)
                     ray_ax = 1 if cm else 0
                     rgb_c, den_c = obj_outputs(
@@ -589,6 +597,11 @@ class MipNerf(nn.Module):
                 )
             if dynamics:
                 level_out["obj_centroid"] = obj_centroid
+                # Compaction safety readout: rays hitting any box this batch.
+                # Logged by the trainer as obj/hit_frac (and overflow vs the
+                # obj_ray_capacity budget) so a mis-sized capacity is visible
+                # in metrics instead of silently dropping object content.
+                level_out["obj_hit_rays"] = anyhit.sum().astype(jnp.float32)
             ret.append(
                 dict(
                     **level_out,

@@ -225,6 +225,8 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
             total, aux = compute_losses(config, out, batch, prev_pose, eps)
             if config.weight_decay_mult > 0:
                 total = total + config.weight_decay_mult * weight_l2(params)
+            if dynamic and init_boxes is not None:
+                aux["obj_hit_rays"] = out[-1]["obj_hit_rays"]
             if config.model.grid_sampling:
                 aux["grid_positions"] = out[-1]["positions_c"]
                 # Pre-masked by the model: box-hitting rays contribute zero
@@ -307,6 +309,20 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
             stats[f"viz/t_vals_{i}"] = aux["viz_t_vals"][i]
             stats[f"viz/weights_{i}"] = aux["viz_weights"][i]
         stats["loss/box_surface"] = aux["box_surface"]
+        if "obj_hit_rays" in aux:
+            # Compaction safety: fraction of rays hitting any box, and rays
+            # over the obj_ray_capacity budget (> 0 means object content was
+            # dropped this batch — raise the capacity).
+            from durf_tpu.models.mipnerf import obj_capacity_k
+
+            stats["obj/hit_frac"] = aux["obj_hit_rays"] / config.batch_size
+            if config.model.obj_ray_capacity > 0.0:
+                k = obj_capacity_k(
+                    config.batch_size, config.model.obj_ray_capacity
+                )
+                stats["obj/overflow_rays"] = jnp.maximum(
+                    0.0, aux["obj_hit_rays"] - k
+                )
         return new_state, stats
 
     return train_step
