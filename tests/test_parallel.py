@@ -91,6 +91,30 @@ def test_pallas_path_matches_xla_on_sharded_mesh():
     np.testing.assert_allclose(losses[False], losses[True], atol=2e-2)
 
 
+def test_obj_compaction_matches_on_sharded_mesh():
+    # Object-ray compaction under the 8-device sharded jit: the global top_k
+    # gather/scatter must still be a permutation of the uncompacted result
+    # (XLA inserts the cross-device collectives; exactness is unchanged).
+    mesh = make_mesh()
+    batch = example_ray_batch(batch_size=512, timesteps=3, far=30.0)
+    losses = {}
+    for cap in (0.0, 0.25):
+        cfg = tiny_train_config(batch_size=512)
+        cfg.model.density_noise = 0.0
+        cfg.model.obj_ray_capacity = cap
+        batch_dev = shard_batch(batch, mesh, 512)
+        model, variables = construct_model(jax.random.key(0), batch_dev, cfg.model)
+        tx = make_optimizer(cfg)
+        state = jax.device_put(create_train_state(cfg, variables, tx), replicate(mesh))
+        step_fn = jax.jit(make_train_step(model, cfg, tx, jax.random.key(1)))
+        for _ in range(2):
+            state, stats = step_fn(state, batch_dev)
+        if cap > 0.0:
+            assert float(stats["obj/overflow_rays"]) == 0.0
+        losses[cap] = float(stats["train/loss"])
+    np.testing.assert_allclose(losses[0.0], losses[0.25], rtol=1e-5)
+
+
 def test_graft_dryrun_entrypoint():
     import __graft_entry__ as g
 
