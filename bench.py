@@ -59,11 +59,13 @@ def main():
     p.add_argument(
         "--obj_capacity",
         type=float,
-        default=0.0,
+        default=0.0625,
         help="object-ray compaction fraction (ModelConfig.obj_ray_capacity): "
         "run the object encode+MLPs on only the top-k hit rays and scatter "
-        "back — exact when the batch's hit count fits the capacity "
-        "(the bench batch hits ~2.9%% of rays)",
+        "back — exact when the batch's hit count fits the capacity. The "
+        "bench batch hits ~2.9%% of rays, so the 6.25%% default carries >2x "
+        "headroom and is exact (measured sweep: 0.25 -> 23.7M, 0.125 -> "
+        "25.5M, 0.0625 -> 26.6M vs 16.4M uncompacted). 0 disables.",
     )
     p.add_argument(
         "--remat",
