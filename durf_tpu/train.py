@@ -440,6 +440,26 @@ def evaluate_image(render_chunk, params, test_case, alpha, chunk: int):
     return render_image(render, test_case["rays"], chunk=chunk)
 
 
+def warn_obj_overflow(host_stats: dict, step: int, log_fn=print) -> bool:
+    """Make a mis-sized obj_ray_capacity LOUD, not just a logged scalar.
+
+    Compaction is exact only while the batch's box-hit count fits the
+    capacity (models/mipnerf.py compaction note); overflowing rays silently
+    lose their object contribution. The scalar obj/overflow_rays already
+    lands in TensorBoard/metrics.jsonl — this mirrors it to the console the
+    moment it goes positive. Returns True when a warning was emitted."""
+    over = host_stats.get("obj/overflow_rays", 0.0)
+    if over and over > 0:
+        log_fn(
+            f"WARNING step {step}: obj_ray_capacity overflow — {over:.0f} rays "
+            f"over budget lost their object contribution this batch "
+            f"(hit_frac={host_stats.get('obj/hit_frac', float('nan')):.4f}); "
+            f"raise ModelConfig.obj_ray_capacity"
+        )
+        return True
+    return False
+
+
 def run_training(
     config: Config,
     data_dir: str,
@@ -558,6 +578,7 @@ def run_training(
                 f"psnr={host_stats['train/psnr']:.2f} "
                 f"{host_stats['perf/rays_per_sec']:.0f} rays/s"
             )
+            warn_obj_overflow(host_stats, step + 1, log_fn)
 
         if (step + 1) % config.save_every == 0:
             ckpt.save(step + 1, jax.device_get(state))

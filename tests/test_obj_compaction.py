@@ -167,3 +167,25 @@ def test_capacity_one_disables_compaction_path():
         outs.append(apply_model(model, variables, batch))
     for lv0, lv1 in zip(*outs):
         np.testing.assert_array_equal(np.asarray(lv0["rgb"]), np.asarray(lv1["rgb"]))
+
+
+def test_warn_obj_overflow_console_mirror():
+    """The trainer mirrors a positive obj/overflow_rays to the console
+    (train.warn_obj_overflow) so a mis-sized capacity is loud, not just a
+    TensorBoard scalar."""
+    from durf_tpu.train import warn_obj_overflow
+
+    lines = []
+    # No overflow key at all (capacity off) and zero overflow: silent.
+    assert not warn_obj_overflow({"train/loss": 1.0}, 100, lines.append)
+    assert not warn_obj_overflow(
+        {"obj/overflow_rays": 0.0, "obj/hit_frac": 0.01}, 100, lines.append
+    )
+    assert lines == []
+    # Positive overflow: one warning naming the count and the knob.
+    assert warn_obj_overflow(
+        {"obj/overflow_rays": 7.0, "obj/hit_frac": 0.125}, 200, lines.append
+    )
+    assert len(lines) == 1
+    assert "7 rays" in lines[0] and "obj_ray_capacity" in lines[0]
+    assert "step 200" in lines[0]
