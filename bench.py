@@ -82,6 +82,12 @@ def main():
         "vmapped per-object kernels)",
     )
     p.add_argument(
+        "--profile_dir",
+        default=None,
+        help="capture a jax.profiler (xprof) trace of the timed steps into "
+        "this directory — the step-breakdown source for docs/DESIGN.md",
+    )
+    p.add_argument(
         "--recurrent_encode",
         action=argparse.BooleanOptionalAction,
         default=True,
@@ -155,11 +161,15 @@ def _run(args):
     # fence. The donated-state chain serializes the steps themselves.
     _ = jax.device_get(stats["train/loss"])
 
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.time()
     for _ in range(args.steps):
         state, stats = train_step(state, batch_dev)
     _ = jax.device_get(stats["train/loss"])
     dt = time.time() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
 
     samples_per_ray = config.model.num_samples * config.model.num_levels
     ray_samples_per_sec = args.steps * config.batch_size * samples_per_ray / dt

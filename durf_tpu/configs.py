@@ -128,7 +128,22 @@ class ModelConfig:
     # pipeline costs ~40% of the step — numerically EXACT whenever the
     # batch's hit count stays under the capacity (gather/scatter is a
     # permutation; the rest have hit == 0). 0.0 = off (reference parity).
+    # -1.0 = AUTO: the trainer sizes the capacity at startup from the
+    # scene's measured worst-timestep hit fraction (data.scene.
+    # max_hit_fraction with extents inflated by the pose-noise radius),
+    # times obj_capacity_margin — the shipped default in the flagship .gin
+    # configs. The contract: rays beyond capacity lose their object
+    # contribution (train.warn_obj_overflow makes any overflow loud, and
+    # obj/overflow_rays is logged every print_every); the auto sizing keeps
+    # a measured-margin guarantee instead of a hand-picked knob. The static
+    # k keeps the one-compile property. Resolved only by the trainer;
+    # eval/render leave -1 as off (uncompacted == exact, and eval chunks
+    # amortize the object cost anyway).
     obj_ray_capacity: float = 0.0
+    # AUTO-mode safety factor over the measured worst-timestep hit fraction
+    # (2x absorbs batch-sampling variance — a batch is a binomial draw from
+    # the pool, and k also rounds up to the next multiple of 128).
+    obj_capacity_margin: float = 2.0
     centering_mode: str = "midrange"
     centering_beta: float = 16.0  # softmax sharpness, 1/meters (midrange)
     centering_tau: float = 1.0  # occupancy saturation density (midrange)
@@ -210,11 +225,14 @@ class Config:
     box_loss_mult: float = 0.0
     # Object-centering prior (durf_tpu extension; no reference analogue):
     # penalize the density-weighted centroid of each object's CANONICAL-frame
-    # samples. Photometric data pins the object in world space, so the
-    # canonical centroid reads out the box-pose error directly — this is the
-    # restoring force the photometric loss cannot provide for joint pose
-    # recovery (the round-3/4 ledger shows every schedule-only recipe
-    # drifting in the flat along-ray direction). 0.0 = off (reference parity).
+    # samples. KNOWN NOT TO RECOVER POSES — kept as the documented negative:
+    # every recorded use drifted (all 8 g-recipes, docs/STATUS.md "Object-
+    # centering prior"), because any prior read out of the reconstructed
+    # field has a fixed point the field co-adapts to during joint training
+    # ('mean' converges to the visible-shell mass centroid, ~0.6*ext_z off;
+    # 'midrange' inherits the occupancy bias). Superseded by
+    # box_surface_loss_mult, whose anchor is the LIDAR data, not the field.
+    # 0.0 = off (reference parity).
     centering_loss_mult: float = 0.0
     # Box-surface depth prior (durf_tpu extension; no reference analogue):
     # LIDAR depth points that land inside/near an object's box should lie ON

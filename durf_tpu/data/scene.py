@@ -110,6 +110,67 @@ class Scene:
         )
 
 
+def _rodrigues(rotvec: np.ndarray) -> np.ndarray:
+    """Axis-angle [3] -> rotation matrix [3, 3] (numpy twin of
+    ops.axis_angle_to_matrix, same eps)."""
+    x, y, z = rotvec
+    skew = np.array([[0, -z, y], [z, 0, -x], [-y, x, 0]], np.float64)
+    angle = np.linalg.norm(rotvec) + 1e-12
+    return (
+        np.eye(3)
+        + (np.sin(angle) / angle) * skew
+        + ((1 - np.cos(angle)) / angle**2) * (skew @ skew)
+    ).astype(np.float32)
+
+
+def max_hit_fraction(scene: "Scene", use_off: bool, inflate: float = 0.0) -> float:
+    """Worst-case (over timesteps) fraction of this split's rays whose
+    slab test hits any box — the sizing input for object-ray compaction
+    (ModelConfig.obj_ray_capacity auto mode, train.resolve_obj_capacity).
+
+    Replicates the model's hit definition exactly (models/mipnerf.py:129:
+    world->box transform + infinite-ray slab test with z_out > 0 — NOT
+    clipped to [near, far]), in host numpy against the same pose table the
+    model initializes from (`use_off` mirrors Config.random_box). `inflate`
+    grows each half-extent (meters, world/5 scale) to cover pose motion
+    during joint pose optimization.
+    """
+    if len(scene.obj_ids) == 0:
+        return 0.0
+    init = scene.init_table(use_off)  # [T, N_obj, 6]
+    fractions = []
+    for t in range(scene.total_timesteps):
+        img_idx = np.nonzero(scene.timesteps == t + 1)[0]
+        if img_idx.size == 0:
+            continue
+        o = np.concatenate(
+            [np.asarray(scene.rays[i].origins).reshape(-1, 3) for i in img_idx]
+        )
+        d = np.concatenate(
+            [np.asarray(scene.rays[i].directions).reshape(-1, 3) for i in img_idx]
+        )
+        ext = scene.boxes_for("ext", t + 1) + inflate  # [N_obj, 3]
+        anyhit = np.zeros(o.shape[0], bool)
+        for j in range(init.shape[1]):
+            rot = _rodrigues(init[t, j, 3:])  # world -> object
+            oo = (o - init[t, j, :3]) @ rot.T
+            dd = d @ rot.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / dd
+                t_lo = (-ext[j] - oo) * inv
+                t_hi = (ext[j] - oo) * inv
+            # max/min propagate NaN (axis-parallel 0/0 rays) -> comparisons
+            # False -> miss, matching the jax slab test's select semantics.
+            t0 = np.minimum(t_lo, t_hi)
+            t1 = np.maximum(t_lo, t_hi)
+            t_near = np.max(t0, axis=-1)
+            t_far = np.min(t1, axis=-1)
+            with np.errstate(invalid="ignore"):
+                anyhit |= (t_far > t_near) & (t_far > 0)
+        fractions.append(float(anyhit.mean()))
+    return max(fractions) if fractions else 0.0
+
+
 def _average_pose(poses: np.ndarray) -> np.ndarray:
     """Average camera pose (reference obbpose_dataset.py:722-742)."""
 

@@ -440,6 +440,41 @@ def evaluate_image(render_chunk, params, test_case, alpha, chunk: int):
     return render_image(render, test_case["rays"], chunk=chunk)
 
 
+def resolve_obj_capacity(config: Config, dataset, log_fn=print) -> float:
+    """Size object-ray compaction from measured scene statistics
+    (ModelConfig.obj_ray_capacity == -1, the flagship .gin default).
+
+    capacity = margin * max-over-(timesteps, pyramid factors) any-hit ray
+    fraction, with box extents inflated by the pose-noise radius
+    (Config.box_noise when random_box — joint pose optimization moves the
+    boxes by up to that much, and the runtime hit mask follows the live
+    pose table). Returns 0.0 (compaction off) for object-free scenes and
+    1.0 (k == batch, numerically the uncompacted path) when the margin
+    leaves no headroom — so the auto mode can never be lossy at startup;
+    train.warn_obj_overflow remains the loud runtime guard if the scene's
+    statistics drift beyond the measured margin mid-training.
+    """
+    from durf_tpu.data.scene import max_hit_fraction
+
+    inflate = config.box_noise if config.random_box else 0.0
+    frac = max(
+        max_hit_fraction(s, use_off=config.random_box, inflate=inflate)
+        for s in dataset.scenes.values()
+    )
+    if frac == 0.0:
+        return 0.0
+    cap = min(1.0, config.model.obj_capacity_margin * frac)
+    from durf_tpu.models.mipnerf import obj_capacity_k
+
+    k = obj_capacity_k(config.batch_size, cap)
+    log_fn(
+        f"obj_ray_capacity auto: max hit fraction {frac:.4f} "
+        f"(extents +{inflate:.2f} m) * margin {config.model.obj_capacity_margin} "
+        f"-> capacity {cap:.4f} (k={k} of batch {config.batch_size})"
+    )
+    return cap
+
+
 def warn_obj_overflow(host_stats: dict, step: int, log_fn=print) -> bool:
     """Make a mis-sized obj_ray_capacity LOUD, not just a logged scalar.
 
@@ -473,6 +508,9 @@ def run_training(
 
     dataset = get_dataset("train", data_dir, config)
     test_dataset = get_dataset("test", data_dir, config)
+
+    if config.model.obj_ray_capacity < 0.0:
+        config.model.obj_ray_capacity = resolve_obj_capacity(config, dataset, log_fn)
 
     example = dataset.peek()
     example_dev = shard_batch(example, mesh, config.batch_size)

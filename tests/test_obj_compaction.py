@@ -189,3 +189,134 @@ def test_warn_obj_overflow_console_mirror():
     assert len(lines) == 1
     assert "7 rays" in lines[0] and "obj_ray_capacity" in lines[0]
     assert "step 200" in lines[0]
+
+
+# ---------------------------------------------------------------------------
+# Auto-sizing (obj_ray_capacity == -1): scene-statistics estimator + resolver.
+
+
+@pytest.fixture(scope="module")
+def compaction_scene(tmp_path_factory):
+    from durf_tpu.data.synthetic import generate_scene
+
+    d = tmp_path_factory.mktemp("compaction_scene")
+    generate_scene(str(d), timesteps=3, width=80, height=64, focal=70.0, factors=(4,))
+    return str(d)
+
+
+def _scene_config(**kw):
+    from durf_tpu.configs import Config
+
+    cfg = Config(
+        dataset_loader="carla_dyn",
+        batching="timestep",
+        batch_size=256,
+        factor=4,
+        spherify=True,
+        centering=True,
+        near=0.0,
+        far=30.0,
+        timesteps=3,
+        model=small_config(timesteps=3),
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_max_hit_fraction_matches_model_hit_mask(compaction_scene):
+    """The host-numpy estimator must reproduce the model's own hit math
+    (models/mipnerf.py:129) exactly, per timestep."""
+    from durf_tpu import ops
+    from durf_tpu.data import get_dataset
+    from durf_tpu.data.scene import max_hit_fraction
+
+    ds = get_dataset("train", compaction_scene, _scene_config())
+    scene = ds.scene
+    est = max_hit_fraction(scene, use_off=False, inflate=0.0)
+
+    init = jnp.asarray(scene.init_table(use_off=False))
+    fracs = []
+    for t in range(scene.total_timesteps):
+        idx = np.nonzero(scene.timesteps == t + 1)[0]
+        o = jnp.concatenate(
+            [jnp.asarray(scene.rays[i].origins).reshape(-1, 3) for i in idx]
+        )
+        d = jnp.concatenate(
+            [jnp.asarray(scene.rays[i].directions).reshape(-1, 3) for i in idx]
+        )
+        ext = jnp.asarray(scene.boxes_for("ext", t + 1))
+        n_obj = init.shape[1]
+        pose = jnp.broadcast_to(init[t, :, :3], (o.shape[0], n_obj, 3))
+        rot = jnp.broadcast_to(
+            ops.axis_angle_to_matrix(init[t, :, 3:]), (o.shape[0], n_obj, 3, 3)
+        )
+        oo, dd = ops.world_to_box_frames(o, d, pose, rot)
+        dims = jnp.broadcast_to(ext, (o.shape[0], n_obj, 3))
+        _, _, hit = ops.ray_box_intersection(oo, dd, -dims, dims)
+        fracs.append(float((hit.sum(-1) > 0).mean()))
+    assert est > 0.0
+    np.testing.assert_allclose(est, max(fracs), atol=1e-7)
+
+
+def test_resolve_obj_capacity_auto(compaction_scene):
+    from durf_tpu.data import get_dataset
+    from durf_tpu.data.scene import max_hit_fraction
+    from durf_tpu.train import resolve_obj_capacity
+
+    config = _scene_config()
+    config.model.obj_ray_capacity = -1.0
+    ds = get_dataset("train", compaction_scene, config)
+    logs = []
+    cap = resolve_obj_capacity(config, ds, logs.append)
+    frac = max_hit_fraction(ds.scene, use_off=False, inflate=0.0)
+    assert cap == pytest.approx(min(1.0, config.model.obj_capacity_margin * frac))
+    assert 0.0 < cap <= 1.0
+    assert logs and "obj_ray_capacity auto" in logs[0]
+
+    # Pose noise inflates the extents: capacity must not shrink.
+    noisy = _scene_config(random_box=True, box_noise=0.5)
+    noisy.model.obj_ray_capacity = -1.0
+    ds_n = get_dataset("train", compaction_scene, noisy)
+    cap_n = resolve_obj_capacity(noisy, ds_n, lambda *_: None)
+    assert cap_n >= cap
+
+
+def test_resolve_obj_capacity_static_scene(tmp_path):
+    from durf_tpu.data import get_dataset
+    from durf_tpu.data.synthetic import generate_scene
+    from durf_tpu.train import resolve_obj_capacity
+
+    d = str(tmp_path / "static")
+    generate_scene(d, timesteps=3, width=40, height=32, focal=35.0, factors=(4,), num_objects=0)
+    config = _scene_config()
+    config.model.dynamics = False
+    config.model.num_objects = 0
+    ds = get_dataset("train", d, config)
+    assert resolve_obj_capacity(config, ds, lambda *_: None) == 0.0
+
+
+def test_auto_capacity_trains_without_overflow(compaction_scene, tmp_path):
+    """End-to-end: obj_ray_capacity = -1 resolves at startup and the short
+    run raises no overflow warning (the auto margin holds)."""
+    from durf_tpu.train import run_training
+
+    config = _scene_config(
+        batch_size=32,
+        max_steps=8,
+        print_every=4,
+        save_every=8,
+        render_every=0,
+        chunk=64,
+        lr_init=5e-3,
+        lr_final=5e-4,
+        lr_delay_steps=0,
+        grad_max_norm=1.0,
+    )
+    config.model.obj_ray_capacity = -1.0
+    logs = []
+    state = run_training(config, compaction_scene, str(tmp_path / "run"), log_fn=logs.append)
+    assert int(state.step) == 8
+    assert config.model.obj_ray_capacity > 0.0  # resolved in place
+    assert any("obj_ray_capacity auto" in l for l in logs)
+    assert not any("overflow" in l for l in logs)
