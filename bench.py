@@ -82,6 +82,13 @@ def main():
         "vmapped per-object kernels)",
     )
     p.add_argument(
+        "--proposal",
+        action="store_true",
+        help="proposal-MLP coarse levels (mip-NeRF 360 style; the full-width "
+        "background MLP runs only on the final level — see "
+        "ModelConfig.use_proposal)",
+    )
+    p.add_argument(
         "--profile_dir",
         default=None,
         help="capture a jax.profiler (xprof) trace of the timed steps into "
@@ -141,6 +148,7 @@ def _run(args):
     config.model.grid_sampling = args.grid_sampling
     config.model.use_box_nearfar = args.use_box_nearfar
     config.model.obj_ray_capacity = args.obj_capacity
+    config.model.use_proposal = args.proposal
 
     mesh = make_mesh()
     n_chips = mesh.devices.size

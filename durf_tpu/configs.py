@@ -147,6 +147,20 @@ class ModelConfig:
     centering_mode: str = "midrange"
     centering_beta: float = 16.0  # softmax sharpness, 1/meters (midrange)
     centering_tau: float = 1.0  # occupancy saturation density (midrange)
+    # Proposal-MLP coarse levels (mip-NeRF 360's proposal architecture; the
+    # reference never used it, though its mip360.py:126-157 volumetric_density
+    # is exactly the proposal-level scaffold): every level but the last
+    # evaluates the small `proposal_mlp` instead of the full background MLP.
+    # The proposal's histogram only has to PLACE the fine samples, not render
+    # — it is trained by distilling the final level's weights through
+    # losses.interlevel_loss (Config.proposal_loss_mult) while the coarse
+    # photometric/URF losses switch off. Profiled motivation (round 5,
+    # docs/DESIGN.md): the 8x256 background MLP is 77% of the compacted step,
+    # half of it on level 0. Off by default (reference parity).
+    use_proposal: bool = False
+    proposal_mlp: MLPConfig = field(
+        default_factory=lambda: MLPConfig(net_depth=4, net_width=128)
+    )
     mlp: MLPConfig = field(default_factory=MLPConfig)
     box_mlp: MLPConfig = field(
         default_factory=lambda: MLPConfig(net_width=128)
@@ -222,6 +236,11 @@ class Config:
     near: float = 2.0
     far: float = 6.0
     coarse_loss_mult: float = 0.1
+    # Proposal distillation weight (ModelConfig.use_proposal): the coarse
+    # levels' only training signal — losses.interlevel_loss between each
+    # proposal histogram and the stop-gradiented final-level weights
+    # (mip-NeRF 360's interlevel loss; their published weight is 1.0).
+    proposal_loss_mult: float = 1.0
     box_loss_mult: float = 0.0
     # Object-centering prior (durf_tpu extension; no reference analogue):
     # penalize the density-weighted centroid of each object's CANONICAL-frame
@@ -308,6 +327,7 @@ _SCOPE_TO_PATH = {
     "MipNerfModel": ("model",),
     "MLP": ("model", "mlp"),
     "BoxMLP": ("model", "box_mlp"),
+    "ProposalMLP": ("model", "proposal_mlp"),
 }
 
 # gin external_configurable names used by the reference configs.

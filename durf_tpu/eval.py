@@ -59,8 +59,14 @@ def restore_for_eval(config: Config, data_dir: str, train_dir: str, split: str =
     return rmesh, dataset, model, state, render_chunk
 
 
-def _lpips_fn():
-    """Optional LPIPS (AlexNet) metric via torch; None when unavailable."""
+def _lpips_fn(weights: Optional[str] = None):
+    """Optional LPIPS (AlexNet) metric; None when unavailable.
+
+    Resolution order: the `lpips` pip package (the reference notebook's
+    dependency, render_eval_durf.ipynb cell 5) when importable, else the
+    pure-JAX implementation (durf_tpu.lpips) fed by a LOCAL weights file —
+    `weights`, or $DURF_LPIPS_WEIGHTS — since a zero-egress box cannot
+    download the torchvision backbone the package needs."""
     try:
         import lpips  # type: ignore
         import torch
@@ -76,7 +82,13 @@ def _lpips_fn():
 
         return fn
     except ImportError:
-        return None
+        pass
+    weights = weights or os.environ.get("DURF_LPIPS_WEIGHTS")
+    if weights and os.path.exists(weights):
+        from durf_tpu.lpips import load_lpips
+
+        return load_lpips(weights)
+    return None
 
 
 def evaluate(
@@ -86,12 +98,17 @@ def evaluate(
     out_dir: Optional[str] = None,
     use_lpips: bool = False,
     log_fn=print,
+    lpips_weights: Optional[str] = None,
 ) -> dict:
     mesh, dataset, model, state, render_chunk = restore_for_eval(config, data_dir, train_dir)
     alpha = float(make_alpha_schedule(config)(int(state.step)))
-    lpips = _lpips_fn() if use_lpips else None
+    lpips = _lpips_fn(lpips_weights) if use_lpips else None
     if use_lpips and lpips is None:
-        log_fn("lpips requested but the lpips package is unavailable; skipping")
+        log_fn(
+            "lpips requested but neither the lpips package nor a local "
+            "weights file (--lpips_weights / $DURF_LPIPS_WEIGHTS) is "
+            "available; skipping"
+        )
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -176,6 +193,13 @@ def main(argv=None):
     p.add_argument("--out_dir", default=None)
     p.add_argument("--chunk", type=int, default=None)
     p.add_argument("--lpips", action="store_true")
+    p.add_argument(
+        "--lpips_weights",
+        default=None,
+        help="local AlexNet-LPIPS weights (lpips state_dict .pt/.pth or the "
+        "durf_tpu .npz layout) for the pure-JAX metric when the lpips "
+        "package is unavailable; also read from $DURF_LPIPS_WEIGHTS",
+    )
     args = p.parse_args(argv)
     # One TPU client per box at a time (tpu_lock.py; CLAUDE.md trap #6).
     from durf_tpu.tpu_lock import acquire_tpu_lock
@@ -184,7 +208,14 @@ def main(argv=None):
     config = load_config(args.gin_file, args.gin_param)
     if args.chunk is not None:
         config.chunk = args.chunk
-    evaluate(config, args.data_dir, args.train_dir, args.out_dir, args.lpips)
+    evaluate(
+        config,
+        args.data_dir,
+        args.train_dir,
+        args.out_dir,
+        args.lpips,
+        lpips_weights=args.lpips_weights,
+    )
 
 
 if __name__ == "__main__":

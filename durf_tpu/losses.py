@@ -55,6 +55,52 @@ def distortion_loss(weights: jax.Array, t_mids: jax.Array, t_dists: jax.Array, e
     return term1 + term2
 
 
+def interlevel_loss(
+    t_fine: jax.Array,
+    w_fine: jax.Array,
+    t_prop: jax.Array,
+    w_prop: jax.Array,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """Proposal distillation: penalize proposal histograms whose OUTER
+    measure under-covers the fine weights (the interlevel loss of mip-NeRF
+    360 — the upper-envelope bound of Sec. 3 of that paper; the reference
+    never used a proposal level, see configs.ModelConfig.use_proposal).
+
+    For each fine interval [a, b) the proposal's outer measure is the total
+    proposal weight over every proposal interval intersecting [a, b) —
+    computed with two vectorized fencepost searches into the proposal's
+    cumulative weights instead of an [Sf, Sp] overlap matrix. The bound
+    w_fine <= outer holds for any histogram refining the same mass, so
+    clip(w_fine - outer, 0)^2 / (w_fine + eps) is zero iff the proposal
+    places mass everywhere the fine level found it. Fine inputs are
+    stop-gradiented: the loss trains the PROPOSAL toward the fine
+    distribution, never the reverse.
+
+    Args:
+      t_fine: [B, Sf+1] fine fenceposts; w_fine: [B, Sf] fine weights.
+      t_prop: [B, Sp+1] proposal fenceposts; w_prop: [B, Sp] weights.
+    """
+    t_fine = lax.stop_gradient(t_fine)
+    w_fine = lax.stop_gradient(w_fine)
+    cw = jnp.concatenate(
+        [jnp.zeros_like(w_prop[..., :1]), jnp.cumsum(w_prop, axis=-1)], axis=-1
+    )  # [B, Sp+1]
+    # Proposal intervals j intersecting [a, b): t_prop[j+1] > a and
+    # t_prop[j] < b -> j in [searchsorted(a, right)-1, searchsorted(b, left)).
+    lo = jax.vmap(lambda te, tq: jnp.searchsorted(te, tq, side="right"))(
+        t_prop, t_fine[..., :-1]
+    ) - 1
+    hi = jax.vmap(lambda te, tq: jnp.searchsorted(te, tq, side="left"))(
+        t_prop, t_fine[..., 1:]
+    )
+    n_prop = w_prop.shape[-1]
+    lo = jnp.clip(lo, 0, n_prop)
+    hi = jnp.clip(hi, 0, n_prop)
+    outer = jnp.take_along_axis(cw, hi, axis=-1) - jnp.take_along_axis(cw, lo, axis=-1)
+    return jnp.mean(jnp.maximum(w_fine - outer, 0.0) ** 2 / (w_fine + eps))
+
+
 def urf_depth_losses(
     weights: jax.Array,
     t0_vals: jax.Array,
@@ -305,8 +351,32 @@ def compute_losses(
     aux["viz_t_vals"] = jnp.stack([lv["t_vals"][0] for lv in levels])
     aux["viz_weights"] = jnp.stack([lv["weights"][0] for lv in levels])
 
+    # Proposal levels (ModelConfig.use_proposal) carry no rgb and train only
+    # through distillation: zero every coarse-level data-loss weight (python
+    # zeros, so XLA dead-code-eliminates the coarse loss computations) and
+    # add the interlevel loss against the stop-gradiented final level.
+    use_prop = getattr(config.model, "use_proposal", False) and len(levels) > 1
+    if use_prop:
+        aux_inter = jnp.sum(
+            jnp.asarray(
+                [
+                    interlevel_loss(
+                        levels[-1]["t_vals"],
+                        levels[-1]["weights"],
+                        lv["t_vals"],
+                        lv["weights"],
+                    )
+                    for lv in levels[:-1]
+                ]
+            )
+        )
+    else:
+        aux_inter = jnp.zeros(())
+
     # Aggregation weights follow reference train_boxpose.py:211-220.
     def agg(vals, final_mult, coarse_mult):
+        if use_prop:
+            coarse_mult = 0.0
         return final_mult * vals[-1] + coarse_mult * jnp.sum(vals[:-1])
 
     total = agg(aux["rgb"], 1.0, config.coarse_loss_mult)
@@ -320,4 +390,6 @@ def compute_losses(
     )
     total += agg(aux["distortion"], config.distortion_loss_mult, config.distortion_loss_mult)
     total += config.box_surface_loss_mult * aux["box_surface"]
+    aux["interlevel"] = aux_inter
+    total += config.proposal_loss_mult * aux_inter
     return total, aux

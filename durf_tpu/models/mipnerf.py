@@ -105,6 +105,22 @@ class MipNerf(nn.Module):
             remat=cfg.remat_mlp,
             name="background_mlp",
         )
+        # Proposal levels (cfg.use_proposal): every level but the last swaps
+        # the full background MLP for this small one — its histogram only
+        # PLACES the fine samples (trained by distillation,
+        # losses.interlevel_loss), so the full-width MLP runs once per ray
+        # instead of num_levels times. Same call shape as the background MLP
+        # (incl. the Pallas path); its rgb output renders the coarse levels'
+        # diagnostic images but carries no loss (configs.ModelConfig).
+        use_prop = cfg.use_proposal and cfg.num_levels > 1
+        if use_prop:
+            proposal_mlp = NerfMLP(
+                cfg.proposal_mlp,
+                compute_dtype=dtype,
+                use_pallas=cfg.use_pallas_mlp,
+                remat=cfg.remat_mlp,
+                name="proposal_mlp",
+            )
 
         if dynamics:
             n_obj = init_boxes.shape[-2]
@@ -544,7 +560,10 @@ class MipNerf(nn.Module):
                     recurrent=cfg.recurrent_encode,
                 )
 
-            raw_rgb, raw_density = mlp(
+            level_mlp = (
+                proposal_mlp if use_prop and i_level < cfg.num_levels - 1 else mlp
+            )
+            raw_rgb, raw_density = level_mlp(
                 samples_enc, viewdirs_enc, x_feature_major=cm, out_feature_major=cm
             )
             if dynamics:

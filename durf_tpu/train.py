@@ -309,6 +309,8 @@ def make_train_step(model: MipNerf, config: Config, tx, base_key: jax.Array):
             stats[f"viz/t_vals_{i}"] = aux["viz_t_vals"][i]
             stats[f"viz/weights_{i}"] = aux["viz_weights"][i]
         stats["loss/box_surface"] = aux["box_surface"]
+        if config.model.use_proposal:
+            stats["loss/interlevel"] = aux["interlevel"]
         if "obj_hit_rays" in aux:
             # Compaction safety: fraction of rays hitting any box, and rays
             # over the obj_ray_capacity budget (> 0 means object content was
