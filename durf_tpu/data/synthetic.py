@@ -29,15 +29,43 @@ def _yaw_matrix(theta: float) -> np.ndarray:
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
 
 
+def box_spec(obj: int) -> tuple[np.ndarray, np.ndarray]:
+    """(half-extents [3], base color [3]) of object `obj`. Objects 0/1 keep
+    the original hand-picked car-ish shapes (every prior round's scenes);
+    higher ids get deterministic procedural variation (the N_obj >= 8 scale
+    demo — the reference's python-unrolled object loop was never run there,
+    internal/obbpose_model.py:174-201)."""
+    if obj < 2:
+        return _BOX_EXTENTS[obj], _BOX_COLORS[obj]
+    rng = np.random.default_rng(100 + obj)
+    ext = np.array(
+        [0.7 + 0.5 * rng.uniform(), 0.6 + 0.3 * rng.uniform(), 1.4 + 0.8 * rng.uniform()],
+        np.float32,
+    )
+    color = rng.uniform(0.15, 0.9, 3).astype(np.float32)
+    return ext, color
+
+
 def box_trajectory(obj: int, t: int, timesteps: int) -> tuple[np.ndarray, float]:
     """World center + yaw of object `obj` at timestep `t` (0-based)."""
     u = t / max(timesteps - 1, 1)
+    ext_y = float(box_spec(obj)[0][1])
     if obj == 0:
-        center = np.array([-6.0 + 12.0 * u, _BOX_EXTENTS[0, 1], -14.0], np.float32)
+        center = np.array([-6.0 + 12.0 * u, ext_y, -14.0], np.float32)
         yaw = 0.15 * u
-    else:
-        center = np.array([5.0 - 8.0 * u, _BOX_EXTENTS[1, 1], -9.0 - 3.0 * u], np.float32)
+    elif obj == 1:
+        center = np.array([5.0 - 8.0 * u, ext_y, -9.0 - 3.0 * u], np.float32)
         yaw = -0.4 + 0.3 * u
+    else:
+        # Extra traffic lanes: staggered x start, alternating direction,
+        # receding depth — all in front of the camera rig.
+        lane = obj - 2
+        sign = 1.0 if lane % 2 == 0 else -1.0
+        x0 = -7.0 + 3.5 * (lane % 5)
+        center = np.array(
+            [x0 + sign * 6.0 * u, ext_y, -8.0 - 2.0 * lane], np.float32
+        )
+        yaw = 0.25 * sign * u
     return center, yaw
 
 
@@ -163,8 +191,8 @@ def generate_scene(
         boxes = []
         for obj in range(num_objects):
             center, yaw = box_trajectory(obj, t, timesteps)
-            ext = _BOX_EXTENTS[obj]
-            boxes.append((center, yaw, ext, obj + 1, _BOX_COLORS[obj]))
+            ext, color = box_spec(obj)
+            boxes.append((center, yaw, ext, obj + 1, color))
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = _yaw_matrix(yaw)
             pose[:3, 3] = center
