@@ -162,3 +162,22 @@ def test_pose_eval_cli_argv(tiny_run, capsys):
     out = capsys.readouterr().out
     payload = json.loads(out[out.index("{"):])
     assert "optimized_vs_gt" in payload and "init_vs_gt" in payload, payload
+
+
+def test_waymo_fast_gin_ships_every_perf_feature():
+    # The production preset must carry the full measured round-4/5 perf
+    # stack (docs/DESIGN.md) while keeping the reference waymo.gin data and
+    # schedule protocol; a config edit must not silently drop one.
+    fast = load_config([os.path.join(REPO, "configs", "waymo_fast.gin")])
+    ref = load_config([os.path.join(REPO, "configs", "waymo.gin")])
+    assert fast.model.compute_dtype == "bfloat16"
+    assert fast.model.use_pallas_mlp
+    assert fast.model.recurrent_encode
+    assert fast.model.use_box_nearfar
+    assert fast.model.obj_ray_capacity == -1  # auto compaction
+    assert fast.model.use_proposal and fast.proposal_loss_mult > 0.0
+    # identical data protocol + schedule as the parity config
+    for f in ("batch_size", "max_steps", "factor", "timesteps", "near", "far"):
+        assert getattr(fast, f) == getattr(ref, f), f
+    assert fast.model.num_samples == ref.model.num_samples
+    assert fast.model.num_objects == ref.model.num_objects
