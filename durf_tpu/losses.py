@@ -68,14 +68,19 @@ def interlevel_loss(
     never used a proposal level, see configs.ModelConfig.use_proposal).
 
     For each fine interval [a, b) the proposal's outer measure is the total
-    proposal weight over every proposal interval intersecting [a, b) —
-    computed with two vectorized fencepost searches into the proposal's
-    cumulative weights instead of an [Sf, Sp] overlap matrix. The bound
-    w_fine <= outer holds for any histogram refining the same mass, so
+    proposal weight over every proposal interval intersecting [a, b). The
+    bound w_fine <= outer holds for any histogram refining the same mass, so
     clip(w_fine - outer, 0)^2 / (w_fine + eps) is zero iff the proposal
     places mass everywhere the fine level found it. Fine inputs are
     stop-gradiented: the loss trains the PROPOSAL toward the fine
     distribution, never the reverse.
+
+    TPU note: the overlap is contracted as a DENSE comparison mask batched
+    into one [Sf, Sp] matmul per ray — the searchsorted/take_along_axis
+    formulation lowers to a scan of per-element gathers (fwd) and
+    scatter-adds (VJP), the exact pathology the PDF sampler hit in round 2
+    (docs/DESIGN.md "matmul-bracket PDF sampler"; measured here: 26.6M ->
+    7.9M ray-samples/s for the WHOLE train step before this rewrite).
 
     Args:
       t_fine: [B, Sf+1] fine fenceposts; w_fine: [B, Sf] fine weights.
@@ -83,21 +88,17 @@ def interlevel_loss(
     """
     t_fine = lax.stop_gradient(t_fine)
     w_fine = lax.stop_gradient(w_fine)
-    cw = jnp.concatenate(
-        [jnp.zeros_like(w_prop[..., :1]), jnp.cumsum(w_prop, axis=-1)], axis=-1
-    )  # [B, Sp+1]
-    # Proposal intervals j intersecting [a, b): t_prop[j+1] > a and
-    # t_prop[j] < b -> j in [searchsorted(a, right)-1, searchsorted(b, left)).
-    lo = jax.vmap(lambda te, tq: jnp.searchsorted(te, tq, side="right"))(
-        t_prop, t_fine[..., :-1]
-    ) - 1
-    hi = jax.vmap(lambda te, tq: jnp.searchsorted(te, tq, side="left"))(
-        t_prop, t_fine[..., 1:]
+    # overlap[b, k, j] = 1 iff proposal interval j intersects fine interval
+    # k: t_prop[j+1] > a_k and t_prop[j] < b_k. Comparisons are non-diff, so
+    # the gradient flows only through the matmul's w_prop operand.
+    a = t_fine[..., :-1, None]  # [B, Sf, 1]
+    b = t_fine[..., 1:, None]
+    overlap = jnp.logical_and(
+        t_prop[..., None, 1:] > a, t_prop[..., None, :-1] < b
+    ).astype(w_prop.dtype)  # [B, Sf, Sp]
+    outer = jnp.einsum(
+        "bkj,bj->bk", overlap, w_prop, precision=jax.lax.Precision.HIGHEST
     )
-    n_prop = w_prop.shape[-1]
-    lo = jnp.clip(lo, 0, n_prop)
-    hi = jnp.clip(hi, 0, n_prop)
-    outer = jnp.take_along_axis(cw, hi, axis=-1) - jnp.take_along_axis(cw, lo, axis=-1)
     return jnp.mean(jnp.maximum(w_fine - outer, 0.0) ** 2 / (w_fine + eps))
 
 
