@@ -352,10 +352,18 @@ def compute_losses(
     aux["viz_t_vals"] = jnp.stack([lv["t_vals"][0] for lv in levels])
     aux["viz_weights"] = jnp.stack([lv["weights"][0] for lv in levels])
 
-    # Proposal levels (ModelConfig.use_proposal) carry no rgb and train only
-    # through distillation: zero every coarse-level data-loss weight (python
-    # zeros, so XLA dead-code-eliminates the coarse loss computations) and
-    # add the interlevel loss against the stop-gradiented final level.
+    # Proposal levels (ModelConfig.use_proposal) carry no meaningful rgb:
+    # zero the RGB-dependent coarse-level loss weights (python zeros, so XLA
+    # dead-code-eliminates those computations) and add the interlevel
+    # distillation loss against the stop-gradiented final level. The
+    # WEIGHT-HISTOGRAM losses (URF depth/near/empty, sky, distortion, pose
+    # TV) stay at their reference coarse multipliers — they are functions of
+    # (weights, t_vals, depth) only, and dropping them measurably hurts:
+    # the first proposal quality run zeroed everything and the proposal
+    # histogram, deprived of LIDAR supervision, placed fine samples off the
+    # true surface (equal-step depth-MSE 1.72 vs 1.14 baseline — round-5
+    # STATUS table); keeping them restores the reference's depth-shaped
+    # coarse sampling.
     use_prop = getattr(config.model, "use_proposal", False) and len(levels) > 1
     if use_prop:
         aux_inter = jnp.sum(
@@ -375,12 +383,12 @@ def compute_losses(
         aux_inter = jnp.zeros(())
 
     # Aggregation weights follow reference train_boxpose.py:211-220.
-    def agg(vals, final_mult, coarse_mult):
-        if use_prop:
+    def agg(vals, final_mult, coarse_mult, rgb_dependent=False):
+        if use_prop and rgb_dependent:
             coarse_mult = 0.0
         return final_mult * vals[-1] + coarse_mult * jnp.sum(vals[:-1])
 
-    total = agg(aux["rgb"], 1.0, config.coarse_loss_mult)
+    total = agg(aux["rgb"], 1.0, config.coarse_loss_mult, rgb_dependent=True)
     total += agg(aux["sky"], 10.0 * config.sky_loss_mult, config.sky_loss_mult)
     total += agg(aux["depth"], config.depth_loss_mult, 0.1 * config.depth_loss_mult)
     total += agg(aux["near"], config.near_loss_mult, 0.1 * config.near_loss_mult)
