@@ -89,6 +89,14 @@ def main():
         "ModelConfig.use_proposal)",
     )
     p.add_argument(
+        "--proposal_samples",
+        type=int,
+        default=0,
+        help="samples per proposal level (0 = num_samples); only read with "
+        "--proposal — mip-NeRF 360's many-cheap-proposal/few-expensive-fine "
+        "split (ModelConfig.proposal_samples)",
+    )
+    p.add_argument(
         "--profile_dir",
         default=None,
         help="capture a jax.profiler (xprof) trace of the timed steps into "
@@ -149,6 +157,7 @@ def _run(args):
     config.model.use_box_nearfar = args.use_box_nearfar
     config.model.obj_ray_capacity = args.obj_capacity
     config.model.use_proposal = args.proposal
+    config.model.proposal_samples = args.proposal_samples
 
     mesh = make_mesh()
     n_chips = mesh.devices.size
@@ -179,7 +188,7 @@ def _run(args):
     if args.profile_dir:
         jax.profiler.stop_trace()
 
-    samples_per_ray = config.model.num_samples * config.model.num_levels
+    samples_per_ray = config.model.samples_per_ray()
     ray_samples_per_sec = args.steps * config.batch_size * samples_per_ray / dt
     per_chip = ray_samples_per_sec / n_chips
     print(

@@ -161,10 +161,31 @@ class ModelConfig:
     proposal_mlp: MLPConfig = field(
         default_factory=lambda: MLPConfig(net_depth=4, net_width=128)
     )
+    # Samples per PROPOSAL level (0 = num_samples). mip-NeRF 360 decouples
+    # the two: many cheap proposal samples buy placement resolution for few
+    # expensive fine samples. Only read when use_proposal; the final level
+    # always draws num_samples.
+    proposal_samples: int = 0
     mlp: MLPConfig = field(default_factory=MLPConfig)
     box_mlp: MLPConfig = field(
         default_factory=lambda: MLPConfig(net_width=128)
     )
+
+    def level_samples(self, i_level: int) -> int:
+        """Samples drawn at level i (proposal levels may differ — see
+        proposal_samples)."""
+        if (
+            self.use_proposal
+            and self.proposal_samples > 0
+            and i_level < self.num_levels - 1
+        ):
+            return self.proposal_samples
+        return self.num_samples
+
+    def samples_per_ray(self) -> int:
+        """Total MLP-evaluated samples per ray across all levels (the
+        ray-samples throughput denominator)."""
+        return sum(self.level_samples(i) for i in range(self.num_levels))
 
     def __post_init__(self):
         if self.recurrent_encode and not self.contraction and not self.fast_trig:

@@ -349,8 +349,23 @@ def compute_losses(
     aux = {k: jnp.asarray(v) for k, v in per_level.items()}
     aux["box_surface"] = surface
     # First ray's sampling state, for the weights-histogram visualization.
-    aux["viz_t_vals"] = jnp.stack([lv["t_vals"][0] for lv in levels])
-    aux["viz_weights"] = jnp.stack([lv["weights"][0] for lv in levels])
+    # Proposal levels may carry a different sample count (ModelConfig.
+    # proposal_samples): pad to the widest level so the stack stays legal —
+    # t fenceposts edge-extended, weights zero-padded (an empty histogram
+    # tail, invisible in the viz).
+    s_max = max(lv["t_vals"].shape[-1] for lv in levels)
+    aux["viz_t_vals"] = jnp.stack(
+        [
+            jnp.pad(lv["t_vals"][0], (0, s_max - lv["t_vals"].shape[-1]), mode="edge")
+            for lv in levels
+        ]
+    )
+    aux["viz_weights"] = jnp.stack(
+        [
+            jnp.pad(lv["weights"][0], (0, s_max - 1 - lv["weights"].shape[-1]))
+            for lv in levels
+        ]
+    )
 
     # Proposal levels (ModelConfig.use_proposal) carry no meaningful rgb:
     # zero the RGB-dependent coarse-level loss weights (python zeros, so XLA

@@ -213,6 +213,10 @@ class MipNerf(nn.Module):
                 key, rng = jax.random.split(rng)
             else:
                 key = None
+            # Proposal levels may draw a different (cheap-MLP) sample count
+            # than the final level (cfg.proposal_samples; mip-NeRF 360's
+            # many-proposal/few-fine split). Parity path: num_samples always.
+            n_level = cfg.level_samples(i_level)
             if i_level == 0:
                 if cfg.grid_sampling and grid is not None:
                     # Grid-informed level-0 PDF: cheap occupancy taps replace
@@ -243,7 +247,7 @@ class MipNerf(nn.Module):
                         occ = jnp.where(dyn_mask > 0, jnp.ones_like(occ), occ)
                     t_vals = lax.stop_gradient(
                         mathx.sorted_piecewise_constant_pdf(
-                            key, bins, occ, cfg.num_samples + 1, randomized
+                            key, bins, occ, n_level + 1, randomized
                         )
                     )
                     samples = (
@@ -259,7 +263,7 @@ class MipNerf(nn.Module):
                         origins_s,
                         dirs_s,
                         rays.radii,
-                        cfg.num_samples,
+                        n_level,
                         near,
                         far,
                         randomized,
@@ -280,6 +284,7 @@ class MipNerf(nn.Module):
                     cfg.ray_shape,
                     cfg.stop_level_grad,
                     cfg.resample_padding,
+                    num_samples=n_level,
                     diag=diag,
                     cm=cm,
                 )

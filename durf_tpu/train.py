@@ -572,7 +572,7 @@ def run_training(
 
     is_host0 = jax.process_index() == 0
     writer = MetricsWriter(train_dir, enable_tensorboard=is_host0)
-    throughput = Throughput(config.batch_size, config.model.num_samples * config.model.num_levels)
+    throughput = Throughput(config.batch_size, config.model.samples_per_ray())
 
     # Periodic manual GC instead of ambient collections mid-step (reference
     # train_boxpose.py:416, 441-442).

@@ -115,6 +115,47 @@ def test_obj_compaction_matches_on_sharded_mesh():
     np.testing.assert_allclose(losses[0.0], losses[0.25], rtol=1e-5)
 
 
+def test_proposal_step_matches_single_device():
+    # Proposal coarse levels under the sharded jit: the interlevel loss is a
+    # per-ray mean (psum-reduced like every other loss term), so the 8-device
+    # and 1-device steps must agree exactly.
+    from durf_tpu.configs import MLPConfig
+
+    cfg = tiny_train_config(batch_size=64)
+    cfg.model.density_noise = 0.0
+    cfg.model.use_proposal = True
+    cfg.model.proposal_mlp = MLPConfig(net_depth=2, net_width=8, net_width_condition=8)
+
+    mesh8 = make_mesh(jax.devices()[:8])
+    mesh1 = make_mesh(jax.devices()[:1])
+
+    batch = example_ray_batch(batch_size=64, timesteps=3, far=30.0)
+    model, variables = construct_model(
+        jax.random.key(0), shard_batch(batch, mesh8, 64), cfg.model
+    )
+    tx = make_optimizer(cfg)
+
+    results = {}
+    for name, mesh in (("mesh8", mesh8), ("mesh1", mesh1)):
+        state = jax.device_put(create_train_state(cfg, variables, tx), replicate(mesh))
+        step_fn = jax.jit(make_train_step(model, cfg, tx, jax.random.key(1)))
+        batch_dev = shard_batch(batch, mesh, 64)
+        for _ in range(3):
+            state, stats = step_fn(state, batch_dev)
+        results[name] = (
+            jax.device_get(state.params),
+            float(stats["train/loss"]),
+            float(stats["loss/interlevel"]),
+        )
+
+    params8, loss8, il8 = results["mesh8"]
+    params1, loss1, il1 = results["mesh1"]
+    np.testing.assert_allclose(loss8, loss1, rtol=1e-4)
+    np.testing.assert_allclose(il8, il1, rtol=1e-4)
+    for (p8, p1) in zip(jax.tree.leaves(params8), jax.tree.leaves(params1)):
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=2e-5)
+
+
 def test_graft_dryrun_entrypoint():
     import __graft_entry__ as g
 

@@ -196,12 +196,92 @@ def test_proposal_gin_scope_binds():
     cfg = load_config(
         bindings=[
             "MipNerfModel.use_proposal = True",
+            "MipNerfModel.proposal_samples = 256",
             "ProposalMLP.net_depth = 3",
             "ProposalMLP.net_width = 64",
             "Config.proposal_loss_mult = 0.5",
         ]
     )
     assert cfg.model.use_proposal
+    assert cfg.model.proposal_samples == 256
     assert cfg.model.proposal_mlp.net_depth == 3
     assert cfg.model.proposal_mlp.net_width == 64
     assert cfg.proposal_loss_mult == 0.5
+
+
+# ---------------------------------------------------------------------------
+# asymmetric sample counts (ModelConfig.proposal_samples)
+
+
+def test_samples_per_ray_accounting():
+    cfg = small_config(num_samples=16, num_levels=2)
+    assert cfg.samples_per_ray() == 32
+    cfg = small_config(num_samples=16, num_levels=2, use_proposal=True, proposal_samples=24)
+    assert cfg.level_samples(0) == 24 and cfg.level_samples(1) == 16
+    assert cfg.samples_per_ray() == 40
+    # proposal_samples is only read under use_proposal
+    cfg = small_config(num_samples=16, num_levels=2, proposal_samples=24)
+    assert cfg.samples_per_ray() == 32
+
+
+@pytest.mark.parametrize("prop_s", [8, 24])
+def test_proposal_samples_shapes(prop_s):
+    """Proposal levels draw proposal_samples; the final level num_samples —
+    both directions (fewer AND more proposal samples than fine)."""
+    batch = mixed_batch(n_rays=128)
+    cfg = small_config(
+        use_proposal=True,
+        proposal_samples=prop_s,
+        proposal_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+    )
+    model, variables = construct_model(jax.random.key(0), batch, cfg)
+    out = apply_model(model, variables, batch)
+    assert out[0]["weights"].shape[-1] == prop_s
+    assert out[-1]["weights"].shape[-1] == cfg.num_samples
+    for lv in out:
+        assert np.all(np.isfinite(np.asarray(lv["rgb"])))
+        assert np.all(np.isfinite(np.asarray(lv["weights"])))
+
+
+def test_proposal_samples_training_descends(tmp_path):
+    """End-to-end mini-train with asymmetric sample counts: the padded viz
+    stack, interlevel loss over unequal histograms, and throughput accounting
+    all trace under jit."""
+    from durf_tpu.data.synthetic import generate_scene
+    from durf_tpu.train import run_training
+
+    scene = str(tmp_path / "scene")
+    generate_scene(scene, timesteps=3, width=80, height=64, focal=70.0, factors=(4,))
+    cfg = Config(
+        dataset_loader="carla_dyn",
+        batching="timestep",
+        batch_size=32,
+        factor=4,
+        spherify=True,
+        centering=True,
+        near=0.0,
+        far=30.0,
+        timesteps=3,
+        max_steps=16,
+        print_every=8,
+        save_every=16,
+        render_every=0,
+        chunk=64,
+        lr_init=5e-3,
+        lr_final=5e-4,
+        lr_delay_steps=0,
+        grad_max_norm=1.0,
+        grad_max_val=0.1,
+        model=small_config(
+            timesteps=3,
+            use_proposal=True,
+            proposal_samples=24,  # 1.5x the fine count
+            contraction=True,
+            proposal_mlp=MLPConfig(net_depth=2, net_width=8, net_width_condition=8),
+        ),
+    )
+    logs = []
+    state = run_training(cfg, scene, str(tmp_path / "run"), log_fn=logs.append)
+    assert int(state.step) == 16
+    losses = [float(l.split("loss=")[1].split(" ")[0]) for l in logs if "loss=" in l]
+    assert losses[-1] < losses[0]
