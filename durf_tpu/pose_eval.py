@@ -34,6 +34,11 @@ def pose_errors(optimized: np.ndarray, reference: np.ndarray) -> dict:
         "mse_total": float((d**2).sum(-1).mean()),
         "angle_deg_mean": float(ang.mean()),
         "angle_deg_max": float(ang.max()),
+        # Pose entries are PER-TIMESTEP parameters: a timestep whose object
+        # is occluded (no LIDAR returns on it) has no box-surface anchor of
+        # its own, so recovery can differ per frame — this breakdown makes
+        # that visible where the aggregate would hide it.
+        "per_timestep_mse": [float(v) for v in (d**2).sum(-1).mean(-1)],
     }
 
 

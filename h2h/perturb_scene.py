@@ -12,6 +12,14 @@ envelope beyond clean synthetic LIDAR):
                         extents are fitted, not exact)
   * --drop_depth        zero all depth (camera-only scene: the prior's
                         documented fallback regime)
+  * --occlude_ts "4,5"  drop the LIDAR returns ON THE OBJECTS (pixels whose
+                        2D_boxes.npz instance id > 0) for the listed 1-based
+                        timesteps — an object occluded from the LIDAR in
+                        those frames. The camera still sees the object
+                        (images are untouched), so this isolates exactly the
+                        box-surface prior's per-frame anchor: pose entries
+                        are per-timestep parameters, and an occluded
+                        timestep has no anchor of its own.
 
 Usage:
   python h2h/perturb_scene.py --src /tmp/scene --out /tmp/scene_n5 \
@@ -75,6 +83,8 @@ def main(argv=None):
     p.add_argument("--outlier_frac", type=float, default=0.0)
     p.add_argument("--ext_scale", type=float, default=1.0)
     p.add_argument("--drop_depth", action="store_true")
+    p.add_argument("--occlude_ts", default="", help="comma-separated 1-based timesteps")
+    p.add_argument("--cams", type=int, default=5, help="cameras per timestep")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -83,12 +93,30 @@ def main(argv=None):
     shutil.copytree(args.src, args.out)
     rng = np.random.default_rng(args.seed)
 
+    occluded = [int(t) for t in args.occlude_ts.split(",") if t.strip()]
+    inst = _load_stack(os.path.join(args.out, "2D_boxes.npz")) if occluded else None
+
     for path in sorted(glob.glob(os.path.join(args.out, "depth_images*.npz"))):
         depths = _load_stack(path)
-        np.savez(
-            path.removesuffix(".npz"),
-            perturb_depth(depths, rng, args.noise_sigma, args.outlier_frac, args.drop_depth),
-        )
+        depths = perturb_depth(depths, rng, args.noise_sigma, args.outlier_frac, args.drop_depth)
+        if occluded:
+            out = np.empty(len(depths), dtype=object) if depths.dtype == object else depths.copy()
+            n_obj_px = 0
+            for i in range(len(depths)):
+                d = np.array(depths[i], np.float32)
+                if i // args.cams + 1 in occluded:
+                    m = np.asarray(inst[i])
+                    if m.shape != d.shape:  # factor mismatch (pyramid levels)
+                        ys = np.linspace(0, m.shape[0] - 1, d.shape[0]).round().astype(int)
+                        xs = np.linspace(0, m.shape[1] - 1, d.shape[1]).round().astype(int)
+                        m = m[ys][:, xs]
+                    hit = m > 0
+                    n_obj_px += int((hit & (d > 0)).sum())
+                    d = np.where(hit, 0.0, d)
+                out[i] = d
+            depths = out if depths.dtype == object else np.stack([np.asarray(x) for x in out])
+            print(f"occluded ts {occluded}: dropped {n_obj_px} object returns")
+        np.savez(path.removesuffix(".npz"), depths)
         print(f"perturbed {os.path.basename(path)}: sigma={args.noise_sigma} "
               f"outliers={args.outlier_frac} drop={args.drop_depth}")
 

@@ -12,6 +12,14 @@
 #                   (default box_surface_margin is 0.2)
 #   cam             camera-only (all depth dropped): the documented
 #                   photometric-fallback regime — expected to DRIFT
+#   occ             object LIDAR-occluded in timesteps 4-5 (returns on the
+#                   object dropped; camera + background LIDAR untouched).
+#                   Poses are per-timestep params: occluded frames have no
+#                   anchor of their own (pose_eval's per_timestep_mse shows
+#                   the split)
+#   occtv           occ + Config.tv_loss_mult=1: temporal pose smoothness
+#                   couples occluded timesteps to their anchored neighbors —
+#                   the designed mitigation
 #
 # Run ONE row at a time on the TPU (CLAUDE.md trap #6). Rows sharing the
 # default margin share one XLA compile (scene data never bakes into HLO).
@@ -35,9 +43,12 @@ PERTURB[m10]='--noise_sigma 0.05 --outlier_frac 0.01'
 PERTURB[m25]='--noise_sigma 0.05 --outlier_frac 0.01'
 PERTURB[m40]='--noise_sigma 0.05 --outlier_frac 0.01'
 PERTURB[cam]='--drop_depth'
+PERTURB[occ]='--occlude_ts 4,5'
+PERTURB[occtv]='--occlude_ts 4,5'
 MARGIN[m10]='Config.box_surface_margin=0.1'
 MARGIN[m25]='Config.box_surface_margin=0.25'
 MARGIN[m40]='Config.box_surface_margin=0.4'
+MARGIN[occtv]='Config.tv_loss_mult=1.'
 
 COMMON=(--gin_file configs/carla_dyn.gin
   --gin_param "Config.batch_size = 512"
