@@ -80,3 +80,8 @@ def test_pose_eval_reports_errors(trained):
         assert np.isfinite(out["optimized_vs_gt"][key])
     # no_pose_opt=True in the tiny config: optimized == init == gt (no noise).
     assert out["optimized_vs_gt"]["mse_total"] < 1e-8
+    # Per-timestep breakdown (occlusion-row readout): one entry per timestep,
+    # whose mean is exactly the aggregate.
+    per_ts = out["optimized_vs_gt"]["per_timestep_mse"]
+    assert len(per_ts) == cfg.timesteps
+    assert abs(np.mean(per_ts) - out["optimized_vs_gt"]["mse_total"]) < 1e-12
