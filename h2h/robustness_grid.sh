@@ -18,8 +18,11 @@
 #                   anchor of their own (pose_eval's per_timestep_mse shows
 #                   the split)
 #   occtv           occ + Config.tv_loss_mult=1: temporal pose smoothness
-#                   couples occluded timesteps to their anchored neighbors —
-#                   the designed mitigation
+#                   coupling occluded timesteps to anchored neighbors —
+#                   measured NEGATIVE for moving objects (TV on absolute
+#                   per-timestep poses fights true motion; 8x worse than
+#                   init — docs/STATUS.md). Kept as the documented negative;
+#                   occ itself needs no mitigation.
 #
 # Run ONE row at a time on the TPU (CLAUDE.md trap #6). Rows sharing the
 # default margin share one XLA compile (scene data never bakes into HLO).
